@@ -1,0 +1,84 @@
+"""Benchmark: differentiable ray-surface intersections/sec through the
+6-element double-Gauss (fwd+bwd), per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The baseline target (BASELINE.json north star) is 100e6 differentiable
+ray-surface intersections/s/chip; the reference publishes no numbers
+(BASELINE.md), so vs_baseline is measured/target.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TARGET_INTERSECTIONS_PER_SEC = 100e6
+
+
+def main():
+    from torchoptics_tpu.models import zoo
+    from torchoptics_tpu.ops import metrics as metrics_mod
+    from torchoptics_tpu.ops import trace as trace_mod
+
+    specs, lens = zoo.build("double_gauss")
+    n_surfaces = int(lens.structure.n_surfaces[0])
+
+    # Dense pupil grid: fields x rings^2 rays x 3 wavelengths.
+    n_fields = 9
+    rings = 64  # 64*64 = 4096 rays/field
+    cfg = trace_mod.TraceConfig(
+        mode="circular", n_rays=(rings, rings),
+        rel_fields=tuple(float(f) for f in np.linspace(0, 1, n_fields)),
+        wavelengths=(459.0, 520.0, 640.0),
+        n_ray_aiming_iter=1)
+    n_rays_total = (len(cfg.rel_fields) * rings * rings
+                    * len(cfg.wavelengths))
+
+    def loss_fn(c, t):
+        res = trace_mod.trace_rays(specs, lens.replace(c=c, t=t), cfg)
+        return metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)[0]
+
+    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+
+    # Warm up / compile.
+    val, grads = step(lens.c, lens.t)
+    jax.block_until_ready((val, grads))
+
+    n_iter = 20
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            val, grads = step(lens.c, lens.t)
+        jax.block_until_ready((val, grads))
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+
+    rays_per_sec = n_rays_total / best
+    intersections_per_sec = rays_per_sec * n_surfaces
+
+    result = {
+        "metric": "diff_ray_surface_intersections_per_sec_fwdbwd_double_gauss",
+        "value": intersections_per_sec,
+        "unit": "intersections/s/chip",
+        "vs_baseline": intersections_per_sec / TARGET_INTERSECTIONS_PER_SEC,
+        "extra": {
+            "step_time_ms": best * 1e3,
+            "rays_per_step": n_rays_total,
+            "surfaces": n_surfaces,
+            "rays_per_sec": rays_per_sec,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

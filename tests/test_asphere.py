@@ -1,0 +1,163 @@
+"""Conic + even-asphere surfaces: Newton intersection and implicit diff.
+
+This is the TPU-build superset (BASELINE.json north star) — the reference
+traces spheres only.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchoptics_tpu import Lens, Specs, Structure, trace, zoo
+from torchoptics_tpu.ops import surfaces as surf
+
+
+def test_sag_sphere_limit():
+    # kappa=0, no asphere: sag must equal the spherical sag.
+    c = 0.1
+    r2 = jnp.asarray([0.0, 1.0, 4.0, 16.0])
+    s, g, guard = surf.sag_and_slope(c, 0.0, None, r2)
+    want = c * np.asarray(r2) / (1 + np.sqrt(1 - c ** 2 * np.asarray(r2)))
+    np.testing.assert_allclose(np.asarray(s), want, rtol=1e-6)
+    assert not np.asarray(guard).any()
+
+
+def test_sag_slope_matches_autodiff():
+    c, kappa = 0.08, -0.6
+    asph = jnp.asarray([1e-4, -2e-6])
+    f = lambda r2: surf.sag_and_slope(c, kappa, asph, r2)[0]
+    r2s = jnp.asarray([0.3, 1.7, 5.0])
+    got_slope = surf.sag_and_slope(c, kappa, asph, r2s)[1]
+    want = jax.vmap(jax.grad(f))(r2s)
+    np.testing.assert_allclose(np.asarray(got_slope), np.asarray(want),
+                               rtol=1e-5)
+
+
+def test_newton_intersection_matches_closed_form_sphere():
+    """With kappa=0 and no asphere the Newton path must land on the
+    closed-form spherical intersection."""
+    rng = np.random.default_rng(0)
+    n = 64
+    c = 0.12
+    x = jnp.asarray(rng.uniform(-2, 2, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-2, 2, n).astype(np.float32))
+    z = jnp.full((n,), -1.5, jnp.float32)
+    cx = jnp.asarray(rng.uniform(-0.2, 0.2, n).astype(np.float32))
+    cy = jnp.asarray(rng.uniform(-0.2, 0.2, n).astype(np.float32))
+    cz = jnp.sqrt(1 - cx ** 2 - cy ** 2)
+
+    sph = surf.find_marching_distance_spherical(c, x, y, z, cx, cy, cz)
+    newt = surf.find_marching_distance_asphere(
+        jnp.asarray(c), jnp.asarray(0.0), None, x, y, z, cx, cy, cz)
+    ok = ~np.asarray(sph.failures) & ~np.asarray(newt.failures)
+    assert ok.mean() > 0.9
+    np.testing.assert_allclose(np.asarray(newt.distance)[ok],
+                               np.asarray(sph.distance)[ok],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(newt.cos_theta)[ok],
+                               np.asarray(sph.cos_theta)[ok],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_newton_hits_surface():
+    """The found point must satisfy z == sag(r^2) to tolerance."""
+    c, kappa = 0.15, -1.5
+    asph = jnp.asarray([3e-4, -1e-6])
+    n = 32
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1.5, 1.5, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1.5, 1.5, n).astype(np.float32))
+    z = jnp.full((n,), -2.0, jnp.float32)
+    cx = jnp.zeros((n,))
+    cy = jnp.zeros((n,))
+    cz = jnp.ones((n,))
+    res = surf.find_marching_distance_asphere(
+        jnp.asarray(c), jnp.asarray(kappa), asph, x, y, z, cx, cy, cz)
+    ok = ~np.asarray(res.failures)
+    assert ok.any()
+    zs = np.asarray(z + res.distance * cz)[ok]
+    r2 = np.asarray((x + res.distance * cx) ** 2
+                    + (y + res.distance * cy) ** 2)[ok]
+    sag = np.asarray(surf.sag_and_slope(c, kappa, asph, jnp.asarray(r2))[0])
+    np.testing.assert_allclose(zs, sag, atol=2e-5)
+
+
+def test_newton_implicit_gradient():
+    """d(dist)/d(c) from the attached polish step must match finite
+    differences (implicit function theorem)."""
+    kappa = -0.8
+    asph = jnp.asarray([2e-4])
+    x0, y0, z0 = 0.8, -0.4, -2.0
+    cx, cy = 0.05, -0.03
+    cz = float(np.sqrt(1 - cx ** 2 - cy ** 2))
+
+    def dist_fn(c):
+        r = surf.find_marching_distance_asphere(
+            c, jnp.asarray(kappa), asph,
+            jnp.asarray(x0), jnp.asarray(y0), jnp.asarray(z0),
+            jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(cz))
+        return r.distance
+
+    c0 = 0.11
+    g = float(jax.grad(dist_fn)(jnp.asarray(c0)))
+    eps = 1e-3
+    fd = (float(dist_fn(jnp.asarray(c0 + eps)))
+          - float(dist_fn(jnp.asarray(c0 - eps)))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=5e-3)
+
+
+def _asphere_cooke():
+    p = zoo.get_prescription("cooke")
+    st = Structure(tuple(p["stop_idx"]), tuple(p["sequence"]))
+    kappa = np.zeros((1, 7), np.float32)
+    asph = np.zeros((1, 7, 2), np.float32)
+    kappa[0, 0] = -0.5
+    asph[0, 0, 0] = 1e-5
+    asph[0, 3, 0] = -5e-6
+    lens = Lens(st, jnp.asarray(p["c"]), jnp.asarray(p["t"]),
+                jnp.asarray(p["nd"]), jnp.asarray(p["v"]),
+                kappa=jnp.asarray(kappa), asph=jnp.asarray(asph))
+    specs, _ = zoo.build("cooke")
+    return specs, lens
+
+
+def test_asphere_trace_zero_coeffs_matches_sphere():
+    """Asphere engine with all-zero kappa/asph must reproduce the spherical
+    trace (BASELINE config 2 sanity)."""
+    specs, lens_sph = zoo.build("cooke")
+    lens_asp = lens_sph.replace(kappa=jnp.zeros_like(lens_sph.c),
+                                asph=jnp.zeros(lens_sph.c.shape + (2,)))
+    cfg = trace.TraceConfig(mode="circular", n_rays=(5, 5),
+                            rel_fields=(0.0, 1.0), wavelengths=("C", "d", "F"))
+    r1 = trace.trace_rays(specs, lens_sph, cfg)
+    r2 = trace.trace_rays(specs, lens_asp, cfg)
+    np.testing.assert_allclose(np.asarray(r2.y), np.asarray(r1.y),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r2.ray_ok), np.asarray(r1.ray_ok))
+
+
+def test_asphere_cooke_trace_and_grad():
+    """Cooke with conic + asphere terms traces and differentiates
+    (BASELINE config 2: 3 wavelengths x 3 fields)."""
+    specs, lens = _asphere_cooke()
+    cfg = trace.TraceConfig(mode="circular", n_rays=(4, 4),
+                            rel_fields=(0.0, 0.707, 1.0),
+                            wavelengths=("d", "F", "C"))
+    res = trace.trace_rays(specs, lens, cfg)
+    assert np.asarray(res.ray_ok).mean() > 0.9
+    assert np.isfinite(np.asarray(res.y)).all()
+
+    from torchoptics_tpu import metrics
+
+    def loss(kappa, asph, c):
+        l = lens.replace(kappa=kappa, asph=asph, c=c)
+        r = trace.trace_rays(specs, l, cfg)
+        return metrics.compute_rms2d(r.x, r.y, r.ray_ok)[0]
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(lens.kappa, lens.asph, lens.c)
+    for gi, name in zip(g, ("kappa", "asph", "c")):
+        arr = np.asarray(gi)
+        assert np.isfinite(arr).all(), name
+    # the perturbed surfaces must receive asphere gradient signal
+    assert np.abs(np.asarray(g[1])).max() > 0

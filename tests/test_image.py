@@ -1,0 +1,137 @@
+"""Image formation: SVOLA convolution, bicubic warp, IQ metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchoptics_tpu.ops import image as img_mod
+
+
+def _delta_psfs(n_patches, k, c, batch=1):
+    psf = np.zeros((batch, n_patches, k, k, c), np.float32)
+    psf[:, :, k // 2, k // 2, :] = 1.0
+    return jnp.asarray(psf)
+
+
+def test_svola_identity_with_delta_psf():
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.uniform(0, 1, (1, 36, 36, 3)).astype(np.float32))
+    psfs = _delta_psfs(9, 7, 3)
+    out = img_mod.svola_convolution(im, 4, psfs, (3, 3), "hann")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(im),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_svola_energy_conservation_uniform_blur():
+    rng = np.random.default_rng(1)
+    im = jnp.asarray(rng.uniform(0.4, 0.6, (1, 32, 32, 1)).astype(np.float32))
+    k = 5
+    psf = np.full((1, 4, k, k, 1), 1.0 / (k * k), np.float32)
+    out = img_mod.svola_convolution(im, 4, jnp.asarray(psf), (2, 2), "hann")
+    # away from borders, a uniform image stays uniform under unit-sum blur
+    inner = np.asarray(out)[0, 8:-8, 8:-8, 0]
+    want = np.asarray(im)[0, 8:-8, 8:-8, 0]
+    np.testing.assert_allclose(inner.mean(), want.mean(), rtol=2e-2)
+
+
+def test_svola_differentiable():
+    im = jnp.ones((1, 24, 24, 1))
+    psf = jnp.full((1, 4, 5, 5, 1), 1.0 / 25)
+
+    def f(p):
+        return jnp.sum(img_mod.svola_convolution(im, 3, p, (2, 2)))
+
+    g = jax.grad(f)(psf)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_bicubic_identity_grid():
+    rng = np.random.default_rng(2)
+    im = jnp.asarray(rng.uniform(0, 1, (1, 16, 20, 3)).astype(np.float32))
+    h, w = 16, 20
+    ys, xs = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+                         indexing="ij")
+    out = img_mod.interpolate_bicubic(im, jnp.asarray(xs.ravel(), jnp.float32),
+                                      jnp.asarray(ys.ravel(), jnp.float32),
+                                      (h, w))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(im),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bicubic_shift_moves_content():
+    im = jnp.zeros((1, 16, 16, 1)).at[0, 8, 8, 0].set(1.0)
+    h = w = 16
+    ys, xs = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+                         indexing="ij")
+    shift = 2.0 / (w - 1) * 2  # shift sampling by 2 pixels
+    out = img_mod.interpolate_bicubic(
+        im, jnp.asarray((xs + shift).ravel(), jnp.float32),
+        jnp.asarray(ys.ravel(), jnp.float32), (h, w))
+    got = np.asarray(out)[0, :, :, 0]
+    assert got[8, 6] > 0.8  # content appears shifted left
+    assert got[8, 8] < 0.2
+
+
+def test_warp_batched():
+    rng = np.random.default_rng(3)
+    im = jnp.asarray(rng.uniform(0, 1, (2, 12, 12, 3)).astype(np.float32))
+    ys, xs = np.meshgrid(np.linspace(-1, 1, 12), np.linspace(-1, 1, 12),
+                         indexing="ij")
+    out = img_mod.apply_distortion_by_warping(
+        im, jnp.asarray(xs.ravel(), jnp.float32),
+        jnp.asarray(ys.ravel(), jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(im),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_psnr_ssim():
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32))
+    assert float(img_mod.psnr(a, a)[0]) > 100
+    np.testing.assert_allclose(float(img_mod.ssim(a, a)[0]), 1.0, rtol=1e-5)
+    noisy = a + 25.0
+    assert float(img_mod.psnr(a, noisy)[0]) == pytest.approx(20.2, abs=0.5)
+    assert float(img_mod.ssim(a, noisy)[0]) < 1.0
+
+
+def test_linear_interpolation():
+    vals = jnp.asarray([0.0, 1.0, 4.0])
+    got = img_mod.linear_interpolation(jnp.asarray([0.5, 1.5, 2.0]), vals)
+    np.testing.assert_allclose(np.asarray(got), [0.5, 2.5, 4.0], rtol=1e-6)
+
+
+def test_psf_weights_sum_to_one():
+    field_map = jnp.asarray(np.random.default_rng(5).uniform(
+        0, 1, (27, 27)).astype(np.float32))
+    w = img_mod.get_psf_weights(3, 3, field_map, 5)
+    assert w.shape == (9, 5)
+    np.testing.assert_allclose(np.asarray(w).sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_rotate_image_bilinear_quarter_turn():
+    im = jnp.zeros((1, 9, 9, 1)).at[0, 2, 4, 0].set(1.0)
+    out = img_mod.rotate_image_bilinear(im, jnp.asarray([np.pi / 2]))
+    got = np.asarray(out)[0, :, :, 0]
+    # the bright pixel moves to a 90-deg rotated position
+    assert got[4, 2] + got[4, 6] > 0.8
+
+
+def test_rotate_and_resize_psfs():
+    rng = np.random.default_rng(6)
+    psfs = jnp.asarray(rng.uniform(0, 1, (4, 9, 9, 3)).astype(np.float32))
+    out = img_mod.rotate_and_resize_psfs(
+        psfs, np.linspace(-1, 1, 8), np.linspace(-1, 1, 8), (2, 2), (7, 7))
+    assert out.shape == (1, 4, 7, 7, 3)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(out, axis=(2, 3))), 1.0, rtol=1e-4)
+
+
+def test_distortion_shift_interpolation():
+    shifts = jnp.asarray([0.0, 0.01, 0.05])
+    x = jnp.asarray([0.0, 0.5, 1.0])
+    y = jnp.zeros(3)
+    dx, dy = img_mod.interpolate_distortion_shifts(shifts, x, y)
+    np.testing.assert_allclose(np.asarray(dy), 0.0, atol=1e-7)
+    assert float(dx[0]) == 0.0
+    assert float(dx[2]) == pytest.approx(0.05, rel=1e-5)

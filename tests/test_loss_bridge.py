@@ -1,0 +1,96 @@
+"""Neural-generator loss bridge (OpticalLoss)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchoptics_tpu.loss import (OpticalLoss, sequence_decoder,
+                                  sequence_encoder, t_converter)
+from torchoptics_tpu.models import glass
+
+
+def test_sequence_codec():
+    assert sequence_encoder("GA") == 10
+    assert sequence_encoder("GAGA") == 1010
+    assert sequence_encoder("GGA") == 110
+    assert sequence_decoder(1010) == "GAGA"
+    assert sequence_decoder(10) == "GA"
+    with pytest.raises(ValueError):
+        sequence_encoder("AGA")  # leading A not representable
+
+
+def test_counts():
+    ol = OpticalLoss("GAGA")
+    assert ol.numsurf == 4
+    assert ol.numglass == 2
+    assert ol.numin == 2 + 2 * 4
+    assert ol.numout == 2 * 2 + 2 * 4 - 1
+
+
+def test_t_converter():
+    t = jnp.asarray([1.0, 2.0, 3.0])
+    # stop on a 'G' gap -> unchanged
+    out = t_converter(1, "GA", t, jnp.asarray(9.0))
+    np.testing.assert_array_equal(np.asarray(out), [1, 2, 3])
+    # stop on an 'A' gap -> splice before it
+    out = t_converter(2, "GAGA", t, jnp.asarray(9.0))
+    np.testing.assert_array_equal(np.asarray(out), [1, 9, 2, 3])
+
+
+def _make_ga_sample():
+    """A GA singlet design vector in the reference's slot layout
+    (`optical_loss.py:21-37`)."""
+    g = np.asarray(glass.g_from_n_v(jnp.asarray([1.5168]),
+                                    jnp.asarray([64.17])))[0]
+    # output: g11, g12, c1, t1, t2   (c2 is solved for EFL=1)
+    outputs = jnp.asarray([g[0], g[1], 0.35, 0.15, 0.75], jnp.float32)
+    # input: epd, hfov, t-bounds..., sequence_encoded, stop_idx, as_c, as_t
+    inputs = jnp.asarray([0.3, 0.35, 0, 1, 0, 1, 10, 1, -1, -1], jnp.float32)
+    return inputs, outputs
+
+
+def test_unsupervised_single_ga():
+    ol = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)
+    inputs, outputs = _make_ga_sample()
+    loss, rms, penalty = ol.unsupervised_single(inputs, outputs, stop_idx=1)
+    assert np.isfinite(float(loss))
+    assert float(rms) >= 0
+    np.testing.assert_allclose(float(loss),
+                               float(rms) + 0.2 * float(penalty), rtol=1e-5)
+
+
+def test_unsupervised_batch_vmapped():
+    ol = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)
+    inputs, outputs = _make_ga_sample()
+    inputs_b = jnp.stack([inputs, inputs.at[0].set(0.25)])
+    outputs_b = jnp.stack([outputs, outputs.at[2].set(0.3)])
+    loss, rms, penalty = ol.unsupervised(inputs_b, outputs_b)
+    assert np.isfinite(float(loss))
+    # mean over two distinct samples differs from either one alone
+    l0, *_ = ol.unsupervised_single(inputs, outputs, stop_idx=1)
+    assert not np.isclose(float(loss), float(l0))
+
+
+def test_unsupervised_gradients_flow_to_generator_outputs():
+    ol = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)
+    inputs, outputs = _make_ga_sample()
+
+    def f(out):
+        loss, *_ = ol.unsupervised_single(inputs, out, stop_idx=1)
+        return loss
+
+    g = jax.grad(f)(outputs)
+    assert np.isfinite(np.asarray(g)).all()
+    # curvature and thickness slots must receive gradient
+    assert abs(float(g[2])) > 0
+    assert abs(float(g[3])) + abs(float(g[4])) > 0
+
+
+def test_supervised_mse():
+    ol = OpticalLoss("GA")
+    x = jnp.zeros((4, ol.numout))
+    y = jnp.ones((4, ol.numout))
+    # all deviations 1 -> per-block sums = numout -> mse = numout/(2G+2S-1)=1
+    np.testing.assert_allclose(float(ol.supervised(x, y)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(ol.supervised(y, y)), 0.0, atol=1e-8)

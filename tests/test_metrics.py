@@ -1,0 +1,80 @@
+"""Distortion, relative illumination, ray-aiming error, RMS variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchoptics_tpu import metrics, trace, zoo
+
+
+def test_rms2d_hand_computed():
+    # 1 field, 2 rays, 1 wavelength; second ray failed.
+    y = jnp.asarray([[[[1.0], [3.0]]]])
+    x = jnp.zeros_like(y)
+    ok = jnp.asarray([[[[True], [False]]]])
+    # centroid over ALL rays = 2; valid deviations: (1-2)^2 = 1; denom = 2
+    want = np.sqrt(1.0 / 2.0)
+    got = float(metrics.compute_rms2d(x, y, ok)[0])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_rms2d_batched():
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(size=(3, 2, 8, 2)).astype(np.float32))
+    x = jnp.zeros_like(y)
+    ok = jnp.ones_like(y, dtype=bool)
+    batched = np.asarray(metrics.compute_rms2d(x, y, ok))
+    for i in range(3):
+        single = float(metrics.compute_rms2d(x[i:i+1], y[i:i+1], ok[i:i+1])[0])
+        np.testing.assert_allclose(batched[i], single, rtol=1e-6)
+
+
+def test_spot_rms_xy_zero_for_perfect_focus():
+    y = jnp.full((1, 1, 5, 1), 0.37)
+    x = jnp.full((1, 1, 5, 1), -0.11)
+    ok = jnp.ones_like(y, dtype=bool)
+    got = float(metrics.compute_spot_rms_xy(x, y, ok)[0, 0])
+    np.testing.assert_allclose(got, 0.0, atol=1e-7)
+
+
+def test_distortion_small_for_good_lens():
+    specs, lens = zoo.build("cooke")
+    d = np.asarray(metrics.compute_distortion(specs, lens, [0.5, 1.0]))
+    assert d.shape == (1, 2)
+    assert np.isfinite(d).all()
+    # a designed triplet should stay under ~10% distortion
+    assert (np.abs(d) < 0.1).all()
+
+
+def test_distortion_zero_for_thin_singlet_at_pim():
+    # distortion of the singlet at small field should be tiny
+    specs, lens = zoo.build("singlet")
+    d = np.asarray(metrics.compute_distortion(specs, lens, [0.1]))
+    assert abs(d[0, 0]) < 0.05
+
+
+def test_relative_illumination():
+    specs, lens = zoo.build("cooke")
+    ri = np.asarray(metrics.compute_relative_illumination(
+        specs, lens, [0.0, 0.707, 1.0]))
+    assert ri.shape == (1, 3, 1)
+    # unity on axis, falls off (or failure fallback 1.0) off axis
+    np.testing.assert_allclose(ri[0, 0, 0], 1.0, rtol=1e-3)
+    assert (ri > 0.2).all() and (ri < 1.2).all()
+
+
+def test_ray_aiming_error_decreases_with_iterations():
+    specs, lens = zoo.build("cooke")
+    e0 = np.abs(np.asarray(metrics.compute_ray_aiming_error(
+        specs, lens, [0.0, 1.0], n_ray_aiming_iter=0))).max()
+    e2 = np.abs(np.asarray(metrics.compute_ray_aiming_error(
+        specs, lens, [0.0, 1.0], n_ray_aiming_iter=2))).max()
+    assert e2 < e0
+    assert e2 < 0.05
+
+
+def test_ray_aiming_error_zero_when_stop_first():
+    specs, lens = zoo.build("singlet")
+    out = metrics.compute_ray_aiming_error(specs, lens, [0.0, 1.0])
+    assert out == 0.0

