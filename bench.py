@@ -23,17 +23,31 @@ import numpy as np
 TARGET_INTERSECTIONS_PER_SEC = 100e6
 
 
+def _time_step(step, args, n_iter=10, reps=3):
+    out = step(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = step(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
+
+
 def main():
     from torchoptics_tpu.models import zoo
     from torchoptics_tpu.ops import metrics as metrics_mod
+    from torchoptics_tpu.ops import pallas_trace as pallas_mod
     from torchoptics_tpu.ops import trace as trace_mod
 
     specs, lens = zoo.build("double_gauss")
     n_surfaces = int(lens.structure.n_surfaces[0])
 
-    # Dense pupil grid: fields x rings^2 rays x 3 wavelengths.
-    n_fields = 9
-    rings = 64  # 64*64 = 4096 rays/field
+    # Dense pupil grid: 16 fields x 96^2 rays x 3 wavelengths = 1.77M rays.
+    n_fields = 16
+    rings = 96
     cfg = trace_mod.TraceConfig(
         mode="circular", n_rays=(rings, rings),
         rel_fields=tuple(float(f) for f in np.linspace(0, 1, n_fields)),
@@ -42,24 +56,26 @@ def main():
     n_rays_total = (len(cfg.rel_fields) * rings * rings
                     * len(cfg.wavelengths))
 
-    def loss_fn(c, t):
+    on_tpu = jax.default_backend() == "tpu"
+
+    def loss_xla(c, t):
         res = trace_mod.trace_rays(specs, lens.replace(c=c, t=t), cfg)
         return metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)[0]
 
-    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    def loss_pallas(c, t):
+        res = pallas_mod.trace_rays_fused(specs, lens.replace(c=c, t=t), cfg)
+        return metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)[0]
 
-    # Warm up / compile.
-    val, grads = step(lens.c, lens.t)
-    jax.block_until_ready((val, grads))
-
-    n_iter = 20
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            val, grads = step(lens.c, lens.t)
-        jax.block_until_ready((val, grads))
-        best = min(best, (time.perf_counter() - t0) / n_iter)
+    best_xla = _time_step(
+        jax.jit(jax.value_and_grad(loss_xla, argnums=(0, 1))),
+        (lens.c, lens.t))
+    best = best_xla
+    best_pallas = None
+    if on_tpu:
+        best_pallas = _time_step(
+            jax.jit(jax.value_and_grad(loss_pallas, argnums=(0, 1))),
+            (lens.c, lens.t))
+        best = min(best, best_pallas)
 
     rays_per_sec = n_rays_total / best
     intersections_per_sec = rays_per_sec * n_surfaces
@@ -71,6 +87,9 @@ def main():
         "vs_baseline": intersections_per_sec / TARGET_INTERSECTIONS_PER_SEC,
         "extra": {
             "step_time_ms": best * 1e3,
+            "step_time_ms_xla": best_xla * 1e3,
+            "step_time_ms_pallas": (None if best_pallas is None
+                                    else best_pallas * 1e3),
             "rays_per_step": n_rays_total,
             "surfaces": n_surfaces,
             "rays_per_sec": rays_per_sec,

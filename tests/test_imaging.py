@@ -1,0 +1,72 @@
+"""End-to-end image formation pipeline (BASELINE config 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchoptics_tpu import imaging, zoo
+from torchoptics_tpu import simulator as sim
+
+
+CFG = sim.SimulatorConfig(
+    n_sampled_fields=5, n_pupil_rings=6, pupil_sampling="circular",
+    n_ray_aiming_iter=1, psf_shape=(17, 17), psf_abs_pixel_size=8e-3,
+    psf_grid_shape=(3, 3))
+
+
+def test_sample_optics_model():
+    specs, lens = zoo.build("cooke")
+    model = imaging.sample_optics_model(specs, lens, CFG)
+    assert model.sampled_psfs.shape == (5, 17, 17, 3)
+    sums = np.asarray(jnp.sum(model.sampled_psfs, axis=(1, 2)))
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
+    assert model.sampled_distortion_shifts.shape == (5,)
+    assert model.sampled_relative_illumination.shape == (5,)
+    # on-axis: no distortion, unit illumination
+    np.testing.assert_allclose(float(model.sampled_distortion_shifts[0]),
+                               0.0, atol=1e-4)
+    np.testing.assert_allclose(float(model.sampled_relative_illumination[0]),
+                               1.0, rtol=1e-3)
+
+
+def test_field_lim_full_image():
+    x0, x1, y0, y1 = imaging.sample_field_lim(30, 40)
+    diag = np.hypot(30, 40)
+    np.testing.assert_allclose([x0, x1], [-40 / diag, 40 / diag], rtol=1e-6)
+    np.testing.assert_allclose([y0, y1], [30 / diag, -30 / diag], rtol=1e-6)
+    # corners lie on the unit field circle
+    np.testing.assert_allclose(np.hypot(x1, y0), 1.0, rtol=1e-6)
+
+
+def test_apply_optics_model_renders():
+    specs, lens = zoo.build("cooke")
+    model = imaging.sample_optics_model(specs, lens, CFG)
+    rng = np.random.default_rng(0)
+    radiance = jnp.asarray(rng.uniform(0, 255, (1, 36, 36, 3))
+                           .astype(np.float32))
+    field_lim = imaging.sample_field_lim(36, 36)
+    irr, psnr, ssim = imaging.apply_optics_model(model, radiance, field_lim,
+                                                 CFG)
+    assert irr.shape == radiance.shape
+    assert np.isfinite(np.asarray(irr)).all()
+    assert float(psnr[0]) > 5.0
+    assert 0.0 < float(ssim[0]) <= 1.0
+
+
+def test_simulate_differentiable_wrt_lens():
+    """Gradients flow from the rendered image back to lens curvatures —
+    the end-to-end-design property the whole framework exists for."""
+    specs, lens = zoo.build("cooke")
+    rng = np.random.default_rng(1)
+    radiance = jnp.asarray(rng.uniform(0, 255, (1, 24, 24, 3))
+                           .astype(np.float32))
+
+    def loss(c):
+        irr, _, _ = imaging.simulate(specs, lens.replace(c=c), radiance, CFG)
+        return jnp.mean((irr - radiance) ** 2)
+
+    g = jax.grad(loss)(lens.c)
+    arr = np.asarray(g)
+    assert np.isfinite(arr).all()
+    assert np.abs(arr).max() > 0

@@ -1,0 +1,102 @@
+"""Fused Pallas trace kernel vs the jnp engine (interpret mode on CPU;
+the same comparisons run compiled on real TPU via benchmarks/).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from torchoptics_tpu import metrics, trace, zoo
+from torchoptics_tpu.ops import pallas_trace as pt
+
+
+CFG = trace.TraceConfig(mode="circular", n_rays=(8, 8),
+                        rel_fields=(0.0, 0.707, 1.0),
+                        wavelengths=(459.0, 520.0, 640.0))
+
+
+def _fwd_pair(name="double_gauss", cfg=CFG):
+    specs, lens = zoo.build(name)
+    res_ref = trace.trace_rays(specs, lens, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        res_pal = pt.trace_rays_fused(specs, lens, cfg)
+    return res_ref, res_pal
+
+
+@pytest.mark.parametrize("name", ["double_gauss", "cooke", "singlet"])
+def test_fused_forward_matches_jnp(name):
+    res_ref, res_pal = _fwd_pair(name)
+    np.testing.assert_allclose(np.asarray(res_pal.x), np.asarray(res_ref.x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_pal.y), np.asarray(res_ref.y),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res_pal.ray_ok),
+                                  np.asarray(res_ref.ray_ok))
+    np.testing.assert_array_equal(np.asarray(res_pal.ray_backward),
+                                  np.asarray(res_ref.ray_backward))
+
+
+def test_fused_gradients_match_jnp():
+    specs, lens = zoo.build("double_gauss")
+
+    def loss_ref(c, t):
+        r = trace.trace_rays(specs, lens.replace(c=c, t=t), CFG)
+        return metrics.compute_rms2d(r.x, r.y, r.ray_ok)[0]
+
+    def loss_pal(c, t):
+        r = pt.trace_rays_fused(specs, lens.replace(c=c, t=t), CFG)
+        return metrics.compute_rms2d(r.x, r.y, r.ray_ok)[0]
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(lens.c, lens.t)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pal, argnums=(0, 1))(lens.c, lens.t)
+    for a, b, name in zip(g_ref, g_pal, ("dc", "dt")):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-4,
+                                   err_msg=name)
+
+
+def test_fused_gradients_with_failed_rays():
+    """Failure-masked lanes must contribute exactly zero gradient, matching
+    the jnp engine, even when many rays fail."""
+    specs, lens = zoo.build("double_gauss")
+    lens_bad = lens.replace(c=lens.c * 3.0)  # provoke failures
+
+    def loss(c, engine):
+        l = lens_bad.replace(c=c)
+        if engine == "pal":
+            r = pt.trace_rays_fused(specs, l, CFG)
+        else:
+            r = trace.trace_rays(specs, l, CFG)
+        return metrics.compute_rms2d(r.x, r.y, r.ray_ok)[0]
+
+    g_ref = jax.grad(lambda c: loss(c, "ref"))(lens_bad.c)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(lambda c: loss(c, "pal"))(lens_bad.c)
+    assert np.isfinite(np.asarray(g_pal)).all()
+    scale = np.abs(np.asarray(g_ref)).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(g_pal) / scale,
+                               np.asarray(g_ref) / scale, atol=1e-4)
+
+
+def test_fused_odd_ray_count_padding():
+    cfg = trace.TraceConfig(mode="meridional_uniform", n_rays=(7,),
+                            rel_fields=(0.0, 1.0), wavelengths=("d",))
+    res_ref, res_pal = _fwd_pair("cooke", cfg)
+    assert res_pal.y.shape == res_ref.y.shape
+    np.testing.assert_allclose(np.asarray(res_pal.y), np.asarray(res_ref.y),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_rejects_unsupported():
+    specs, lens = zoo.build("cooke")
+    batch2 = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate([a, a], axis=0), lens)
+    with pytest.raises(AssertionError):
+        pt.trace_rays_fused(specs, batch2, CFG)
+    asph = lens.replace(kappa=jnp.zeros_like(lens.c))
+    with pytest.raises(AssertionError):
+        pt.trace_rays_fused(specs, asph, CFG)

@@ -20,7 +20,8 @@ def test_psf_unit_area_and_shape():
                                                     increment=0.004)
     assert kernels.shape == (1, 1, 21, 21)
     np.testing.assert_allclose(float(jnp.sum(kernels)), 1.0, rtol=1e-5)
-    assert float(acc[0, 0]) > 0.9
+    assert acc.shape == (1,)  # one value per (system, field) grid
+    assert float(acc[0]) > 0.9
 
 
 def test_psf_x_symmetry():
@@ -47,7 +48,7 @@ def test_psf_centroid_centering():
     k = np.asarray(kernels)[0, 0]
     peak_row = np.unravel_index(np.argmax(k), k.shape)[0]
     assert abs(peak_row - 10) <= 1
-    assert float(acc[0, 0]) > 0.9
+    assert float(acc[0]) > 0.9
 
 
 def test_psf_auto_extent():

@@ -24,7 +24,10 @@ Quick start::
 from torchoptics_tpu.models.structure import (  # noqa: F401
     Lens, Specs, Structure, find_valid_curvatures, mask_gather, mask_scatter)
 from torchoptics_tpu.models import glass, io, zoo  # noqa: F401
-from torchoptics_tpu.ops import abcd, aiming, metrics, pupil, surfaces, trace  # noqa: F401
+from torchoptics_tpu.ops import (  # noqa: F401
+    abcd, aiming, image, metrics, psf, pupil, surfaces, trace)
 from torchoptics_tpu.ops.trace import TraceConfig, TraceResult, trace_rays  # noqa: F401
+from torchoptics_tpu import imaging, loss, optimize, simulator  # noqa: F401
+from torchoptics_tpu.simulator import RaytracedOptics, SimulatorConfig  # noqa: F401
 
 __version__ = "0.1.0"

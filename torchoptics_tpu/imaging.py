@@ -1,0 +1,190 @@
+"""End-to-end image formation: lens -> PSF grid -> aberrated sensor image.
+
+Working implementation of the reference's *dormant* imaging pipeline — the
+commented-out `sample_optics_model` / `apply_optics_model` / `call` chain
+(`optics_simulator_lite.py:217-344, 524-552`) plus its broken `image_ops`
+dependencies — redesigned as pure functions:
+
+    model = sample_optics_model(specs, lens, config, key)   # trace once
+    irradiance, psnr, ssim = apply_optics_model(model, radiance, field_lim,
+                                                config)      # render images
+
+Everything (soft-histogram PSFs, patch-wise FFT convolution, bicubic
+distortion warp, relative-illumination map) runs on-device with static
+shapes; the whole render jits to one XLA program. BASELINE config 5.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchoptics_tpu.models.structure import Lens, Specs
+from torchoptics_tpu.ops import abcd as abcd_mod
+from torchoptics_tpu.ops import image as image_mod
+from torchoptics_tpu.ops import metrics as metrics_mod
+from torchoptics_tpu.ops import psf as psf_mod
+from torchoptics_tpu.ops import trace as trace_mod
+from torchoptics_tpu import simulator as sim_mod
+
+
+class OpticsModel(NamedTuple):
+    """Sampled optical data for one lens, ready for image rendering."""
+    sampled_psfs: jnp.ndarray                 # (n_fields, ph, pw, 3)
+    sampled_distortion_shifts: Optional[jnp.ndarray]  # (n_fields,)
+    sampled_relative_illumination: Optional[jnp.ndarray]  # (n_fields,)
+    y_center: jnp.ndarray                     # (n_fields,)
+
+
+def sample_optics_model(specs: Specs, lens: Lens,
+                        config: sim_mod.SimulatorConfig,
+                        key: Optional[jax.Array] = None) -> OpticsModel:
+    """Trace the lens and sample PSFs / distortion / relative illumination at
+    ``config.n_sampled_fields`` field values
+    (reference `optics_simulator_lite.py:524-552`)."""
+    cfg = config.trace_config()
+    res = trace_mod.trace_rays(specs, lens, cfg, key=key)
+    n_fields = len(cfg.rel_fields)
+
+    if config.apply_distortion and not config.distortion_by_warping:
+        y_center = abcd_mod.get_paraxial_heights_at_image_plane(
+            specs, lens, np.linspace(0, 1, n_fields))[0]
+    else:
+        y_center = jnp.mean(res.y.reshape(n_fields, -1), axis=1)
+
+    psfs, accounted = psf_mod.sample_psfs(
+        res.x, res.y, y_center, config.psf_shape, config.psf_abs_pixel_size)
+    psfs = image_mod.ensure_finite(psfs, 0.0)
+
+    shifts = None
+    if config.apply_distortion and config.distortion_by_warping:
+        shifts = image_mod.ensure_finite(
+            image_mod.sample_distortion_shifts(specs, lens, y_center), 0.0)
+
+    rel_illum = None
+    if config.apply_relative_illumination:
+        mean_wavelength = float(np.mean(config.wavelengths))
+        ri = metrics_mod.compute_relative_illumination(
+            specs, lens, tuple(np.linspace(0, 1, n_fields)),
+            wavelengths=(mean_wavelength,),
+            n_ray_aiming_iter=config.n_ray_aiming_iter)[0, :, 0]
+        rel_illum = image_mod.ensure_finite(ri, 1.0)
+
+    return OpticsModel(psfs, shifts, rel_illum, y_center)
+
+
+def sample_field_lim(img_h: int, img_w: int, simulated_res_factor: int = 1,
+                     roi_index: int = 0) -> Tuple[float, float, float, float]:
+    """Object-space coordinates of the image corners, normalized so
+    x² + y² = 1 is the full-field edge
+    (reference `optics_simulator_lite.py:229-247`)."""
+    factor = int(simulated_res_factor)
+    roi_index = roi_index % (factor ** 2)
+    row, col = roi_index // factor, roi_index % factor
+    diag = math.sqrt(img_h ** 2 + img_w ** 2)
+    y0 = -img_h / diag * (2 * row / factor - 1)
+    y1 = -img_h / diag * (2 * (row + 1) / factor - 1)
+    x0 = img_w / diag * (2 * col / factor - 1)
+    x1 = img_w / diag * (2 * (col + 1) / factor - 1)
+    return x0, x1, y0, y1
+
+
+def compute_distortion_shift(model: OpticsModel, x, y, x_lim, y_lim,
+                             field_lim):
+    """Distortion shift of image coordinates (relative to x_lim/y_lim);
+    reference `optics_simulator_lite.py:249-267`."""
+    x0, x1, y0, y1 = field_lim
+    x_field = (x - x_lim[0]) / (x_lim[1] - x_lim[0]) * (x1 - x0) + x0
+    y_field = (y - y_lim[0]) / (y_lim[1] - y_lim[0]) * (y1 - y0) + y0
+    dx_f, dy_f = image_mod.interpolate_distortion_shifts(
+        model.sampled_distortion_shifts, x_field, y_field)
+    delta_x = dx_f * (x_lim[1] - x_lim[0]) / (x1 - x0)
+    delta_y = dy_f * (y_lim[1] - y_lim[0]) / (y1 - y0)
+    return delta_x, delta_y
+
+
+def apply_optics_model(model: OpticsModel, radiance: jnp.ndarray,
+                       field_lim, config: sim_mod.SimulatorConfig,
+                       max_value: float = 255.0):
+    """Render the aberrated image (reference
+    `optics_simulator_lite.py:272-322`).
+
+    Args:
+      model: sampled optics (PSFs per field, distortion, illumination).
+      radiance: (B, H, W, 3) ideal image.
+      field_lim: (x0, x1, y0, y1) object-space limits of the image.
+
+    Returns (irradiance, psnr, ssim).
+    """
+    # field_lim must be static Python floats (it defines the PSF patch
+    # geometry, which is compile-time structure).
+    x0, x1, y0, y1 = (float(v) for v in field_lim)
+    img_h, img_w = radiance.shape[1:3]
+    diag = math.sqrt(img_h ** 2 + img_w ** 2)
+    y_map = np.linspace(y0, y1, img_h, dtype=np.float32)
+    x_map = np.linspace(x0, x1, img_w, dtype=np.float32)
+    field_map = jnp.asarray(
+        np.sqrt(x_map[None, :] ** 2 + y_map[:, None] ** 2))
+
+    # Resize PSFs to the simulated resolution (odd-rounded).
+    psf_shape = np.asarray(config.psf_shape)
+    factor = int(config.simulated_res_factor)
+    resized = (psf_shape * config.psf_abs_pixel_size * factor * diag
+               / config.sensor_diagonal)
+    resized = (np.floor(resized / 2) * 2 + 1).astype(int)
+    resized = np.maximum(resized, 3)
+
+    gh, gw = config.psf_grid_shape
+    psfs = image_mod.interpolate_psfs(model.sampled_psfs, field_map,
+                                      (gh, gw))
+    psfs = image_mod.rotate_and_resize_psfs(
+        psfs, x_map, y_map, (gh, gw), tuple(resized))
+
+    overlap = tuple(int(v) for v in
+                    (0.25 * np.asarray(radiance.shape[1:3])
+                     / np.asarray(config.psf_grid_shape)).astype(int))
+    irradiance = image_mod.svola_convolution(
+        radiance, overlap, jnp.broadcast_to(
+            psfs, (radiance.shape[0],) + psfs.shape[1:]),
+        config.psf_grid_shape, "hann")
+
+    psnr = image_mod.psnr(radiance, irradiance, max_value)
+    ssim = image_mod.ssim(radiance, irradiance, max_value)
+
+    if config.apply_relative_illumination and \
+            model.sampled_relative_illumination is not None:
+        ri_map = image_mod.interpolate_relative_illumination(
+            model.sampled_relative_illumination, field_map)
+        irradiance = irradiance * ri_map[None, ..., None]
+
+    if config.apply_distortion and config.distortion_by_warping and \
+            model.sampled_distortion_shifts is not None:
+        x_img = jnp.broadcast_to(
+            jnp.linspace(-1.0, 1.0, img_w)[None, :], (img_h, img_w)).reshape(-1)
+        y_img = jnp.broadcast_to(
+            jnp.linspace(-1.0, 1.0, img_h)[:, None], (img_h, img_w)).reshape(-1)
+        x_shift, y_shift = compute_distortion_shift(
+            model, x_img, y_img, (-1, 1), (-1, 1), field_lim)
+        irradiance = image_mod.apply_distortion_by_warping(
+            irradiance, x_img - x_shift, y_img - y_shift)
+
+    return irradiance, psnr, ssim
+
+
+def simulate(specs: Specs, lens: Lens, radiance: jnp.ndarray,
+             config: sim_mod.SimulatorConfig,
+             key: Optional[jax.Array] = None,
+             field_lim=None, roi_index: int = 0):
+    """One-call pipeline: sample the optics model and render
+    (the reference's intended ``OpticsSimulator.call``,
+    `optics_simulator_lite.py:324-343`)."""
+    model = sample_optics_model(specs, lens, config, key=key)
+    if field_lim is None:
+        field_lim = sample_field_lim(radiance.shape[1], radiance.shape[2],
+                                     config.simulated_res_factor, roi_index)
+    return apply_optics_model(model, radiance, field_lim, config)

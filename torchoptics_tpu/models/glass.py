@@ -132,6 +132,14 @@ def map_glass_to_closest(g: jnp.ndarray, catalog_g: jnp.ndarray) -> jnp.ndarray:
     return catalog_g[idx]
 
 
+def catalog_glass_indices(g: jnp.ndarray, catalog_g: jnp.ndarray) -> jnp.ndarray:
+    """Index of the closest catalog glass for each optimized glass
+    (reference ``get_catalog_glass_indices``,
+    `optics_simulator_lite.py:403-409`)."""
+    dist = jnp.linalg.norm(g[:, None, :] - catalog_g[None, :, :], axis=-1)
+    return jnp.argmin(dist, axis=1)
+
+
 def quantize_glass_st(g: jnp.ndarray, catalog_g: jnp.ndarray) -> jnp.ndarray:
     """Quantized-continuous glass with a straight-through gradient: forward
     pass snaps to the catalog, backward pass is the identity (the TF

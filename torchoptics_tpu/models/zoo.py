@@ -67,18 +67,24 @@ TESSAR = {
           31.602611541748047],
 }
 
-# 6-element double Gauss, f/2, hfov 19 deg: symmetric
+# 6-element double Gauss, EFL 50 mm, f/2, hfov 19 deg: symmetric
 # (+)(+-) | stop | (-+)(+) layout with two cemented doublets. Prescription
-# derived for this framework (optimized with torchoptics_tpu.optimize from a
-# classic symmetric starting layout); this is the flagship benchmark scene for
-# BASELINE.json config 3 ("Double-Gauss 6-element: dense pupil-grid trace").
+# designed with this framework's own optimizer (torchoptics_tpu.optimize,
+# staged f/4 -> f/2.8 -> f/2 with ray-path thickness constraints) from a
+# symmetric starting layout; 100% ray transmission at f/2 over the full
+# field. This is the flagship benchmark scene for BASELINE.json config 3
+# ("Double-Gauss 6-element: dense pupil-grid trace").
 DOUBLE_GAUSS = {
     "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
     "f_number": [2.0],
-    "c": [0.0183, -0.0010, 0.0345, -0.0395, 0.0145, 0.0,
-          -0.0155, 0.0420, -0.0055, 0.0065, -0.0253],
-    "t": [6.50, 0.20, 9.10, 2.20, 8.10, 8.10,
-          2.20, 10.40, 0.20, 6.10, 75.50],
+    "c": [0.0006187070976011455, 0.011389133520424366, 0.014633883722126484,
+          -0.018327612429857254, 0.002910451265051961, 0.0,
+          7.22491749911569e-05, 0.012452657334506512, -0.011642261408269405,
+          0.007368647959083319, -0.011818691156804562],
+    "t": [1.5545737743377686, 11.536102294921875, 5.054161548614502,
+          1.7062876224517822, 3.124490976333618, 4.702038764953613,
+          8.74128532409668, 10.001749992370605, 9.484201431274414,
+          9.966080665588379, 44.052974700927734],
     "nd": [1.6779, 1.6516, 1.6990, 1.6990, 1.6516, 1.6779],
     "v": [55.34, 58.52, 30.05, 30.05, 58.52, 55.34],
 }

@@ -41,7 +41,8 @@ def get_normalized_lens_variables(lens: Lens, add_bfl: bool = False,
     The lens is first scaled so EFL == 1 (the working scale for the
     last-curvature solve); glass goes to whitened ``g`` space; optionally the
     BFL is subtracted from the last thickness so the trainable value is the
-    defocus."""
+    defocus. Conic/asphere coefficients (TPU-build superset) are included
+    when the lens carries them."""
     efl = lens.efl
     lens = lens.scale(1.0 / efl)
 
@@ -57,7 +58,12 @@ def get_normalized_lens_variables(lens: Lens, add_bfl: bool = False,
 
     valid = find_valid_curvatures(lens.structure)
     c = lens.c[valid] * scale_factor
-    return {"c": c, "t": t, "g": g}
+    params = {"c": c, "t": t, "g": g}
+    if lens.kappa is not None:
+        params["kappa"] = lens.kappa * scale_factor
+    if lens.asph is not None:
+        params["asph"] = lens.asph * scale_factor
+    return params
 
 
 def lens_from_normalized(structure: Structure, params: Dict[str, jnp.ndarray],
@@ -89,7 +95,11 @@ def lens_from_normalized(structure: Structure, params: Dict[str, jnp.ndarray],
     flat_c_but_last = c2d[c_mask]
     flat_c = abcd_mod.compute_last_curvature(structure, flat_c_but_last, t, nd)
 
-    lens = Lens(structure, flat_c, t, nd, v)
+    kappa = params.get("kappa")
+    asph = params.get("asph")
+    lens = Lens(structure, flat_c, t, nd, v,
+                kappa=None if kappa is None else kappa / scale_factor,
+                asph=None if asph is None else asph / scale_factor)
     if add_bfl:
         last = structure.n_surfaces - 1
         bfl = lens.bfl

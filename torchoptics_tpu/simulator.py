@@ -335,6 +335,31 @@ class RaytracedOptics(OpticsSimulator):
             })
         return res.x, res.y, res.ray_ok
 
+    def get_catalog_glass_indices(self, g):
+        """Closest catalog glass index per optimized glass
+        (reference `optics_simulator_lite.py:403-409`)."""
+        return glass_mod.catalog_glass_indices(g, self.catalog_g)
+
+    def get_vars(self) -> Dict[str, Any]:
+        """State dump of the current design (reference ``get_vars``,
+        `optics_simulator_lite.py:180-196`)."""
+        lens = self.lensR
+        st = lens.structure
+        return {
+            "nd": np.asarray(lens.flat_nd).tolist(),
+            "v": np.asarray(lens.flat_v).tolist(),
+            "t": np.asarray(lens.flat_t).tolist(),
+            "lens_c": np.asarray(lens.flat_c).tolist(),
+            "g": np.asarray(glass_mod.g_from_n_v(
+                lens.flat_nd, lens.flat_v)).tolist(),
+            "stop_idx": list(st.stop_idx),
+            "mask": st.mask.tolist(),
+            "mask_G": st.mask_G.tolist(),
+            "hfov": np.asarray(self.hfov).tolist(),
+            "epd": np.asarray(self.epd).tolist(),
+            "efl": np.asarray(self.efl).tolist(),
+        }
+
     def ShowTraceResult(self, x, y, ray_ok, loss_unsup, show=True):
         """Spot diagram colored by wavelength
         (`optics_simulator_lite.py:554-573`)."""
