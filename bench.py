@@ -77,6 +77,29 @@ def main():
             (lens.c, lens.t))
         best = min(best, best_pallas)
 
+    # Second BASELINE metric: full lens-optimization step (unsupervised
+    # objective Lu = rms + rate*sumQ, fwd+bwd) at the same ray count.
+    import torchoptics_tpu.simulator as sim_mod
+    sim_cfg = sim_mod.SimulatorConfig(
+        n_sampled_fields=n_fields, n_pupil_rings=rings,
+        pupil_sampling="circular", n_ray_aiming_iter=1,
+        wavelengths=(459.0, 520.0, 640.0))
+
+    def lu_pallas(c, t):
+        Lu, _ = pallas_mod.unsupervised_loss_fused(
+            specs, lens.replace(c=c, t=t), sim_cfg)
+        return Lu
+
+    def lu_xla(c, t):
+        _, ld = sim_mod.do_ray_tracing(specs, lens.replace(c=c, t=t),
+                                       sim_cfg)
+        return ld["loss_unsup"]
+
+    lu_fn = lu_pallas if on_tpu else lu_xla
+    best_lu = _time_step(
+        jax.jit(jax.value_and_grad(lu_fn, argnums=(0, 1))),
+        (lens.c, lens.t))
+
     rays_per_sec = n_rays_total / best
     intersections_per_sec = rays_per_sec * n_surfaces
 
@@ -90,6 +113,7 @@ def main():
             "step_time_ms_xla": best_xla * 1e3,
             "step_time_ms_pallas": (None if best_pallas is None
                                     else best_pallas * 1e3),
+            "lens_opt_step_ms": best_lu * 1e3,
             "rays_per_step": n_rays_total,
             "surfaces": n_surfaces,
             "rays_per_sec": rays_per_sec,

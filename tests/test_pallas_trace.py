@@ -91,6 +91,55 @@ def test_fused_odd_ray_count_padding():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fused_unsupervised_loss_matches_simulator():
+    """Lu value + gradients of the fully fused objective vs the XLA path."""
+    from torchoptics_tpu import simulator as sim
+    specs, lens = zoo.build("double_gauss")
+    cfg = sim.SimulatorConfig(n_sampled_fields=3, n_pupil_rings=4,
+                              pupil_sampling="circular", n_ray_aiming_iter=0,
+                              wavelengths=(459.0, 520.0, 640.0))
+
+    def lu_ref(c, t):
+        _, ld = sim.do_ray_tracing(specs, lens.replace(c=c, t=t), cfg)
+        return ld["loss_unsup"]
+
+    def lu_pal(c, t):
+        Lu, _ = pt.unsupervised_loss_fused(specs, lens.replace(c=c, t=t), cfg)
+        return Lu
+
+    v_ref, g_ref = jax.value_and_grad(lu_ref, argnums=(0, 1))(lens.c, lens.t)
+    with pltpu.force_tpu_interpret_mode():
+        v_pal, g_pal = jax.value_and_grad(lu_pal, argnums=(0, 1))(lens.c,
+                                                                  lens.t)
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-4)
+    # theta_norm's derivative is ill-conditioned at near-normal incidence
+    # (d acos/du -> inf as u -> 1), so two equally valid f32 evaluations can
+    # differ by ~1e-2 relative to scale; finite differences sit between them
+    # (slightly closer to the Pallas adjoint).
+    for a, b, name in zip(g_ref, g_pal, ("dc", "dt")):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-2,
+                                   err_msg=name)
+
+
+def test_fused_penalties_with_failures_match():
+    """Penalty accumulators with failure-pinned lanes (theta == 1)."""
+    from torchoptics_tpu import simulator as sim
+    specs, lens = zoo.build("double_gauss")
+    lens_bad = lens.replace(c=lens.c * 2.5)
+    cfg = sim.SimulatorConfig(n_sampled_fields=3, n_pupil_rings=4,
+                              pupil_sampling="circular", n_ray_aiming_iter=0,
+                              wavelengths=(459.0,))
+    _, ld_ref = sim.do_ray_tracing(specs, lens_bad, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        Lu, ld_pal = pt.unsupervised_loss_fused(specs, lens_bad, cfg)
+    np.testing.assert_allclose(float(ld_pal["penalty"]),
+                               float(ld_ref["penalty"]), rtol=1e-4)
+    np.testing.assert_allclose(float(ld_pal["rms"]),
+                               float(ld_ref["rms"]), rtol=1e-4, atol=1e-7)
+
+
 def test_fused_rejects_unsupported():
     specs, lens = zoo.build("cooke")
     batch2 = jax.tree_util.tree_map(

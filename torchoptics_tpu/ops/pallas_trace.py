@@ -100,12 +100,14 @@ def _fwd_surface(c, t, mu, x, y, z, cx, cy, cz, ok):
             dict(delta_z=delta_z, ok1=ok1, fail1=fail1, fail2a=fail2a,
                  fail2=fail2, cos=cos, cosp=cosp, g=g, denom=denom,
                  dist=dist, temp=temp, m2=m2, e=e, xB=xB, yB=yB,
-                 cxB=cxB, cyB=cyB, cxC=cxC, cyC=cyC, czC=czC))
+                 cxB=cxB, cyB=cyB, cxC=cxC, cyC=cyC, czC=czC,
+                 cos2=cos2, cos2p=cos2p))
 
 
-def _bwd_surface(c, t, mu, pre, loc, d):
+def _bwd_surface(c, t, mu, pre, loc, d, dcos2_extra=None, dcos2p_extra=None):
     """Adjoint of ``_fwd_surface``. ``pre`` = pre-surface state,
-    ``loc`` = recomputed locals, ``d`` = (dxD, dyD, dzD, dcxD, dcyD, dczD).
+    ``loc`` = recomputed locals, ``d`` = (dxD, dyD, dzD, dcxD, dcyD, dczD);
+    ``dcos2*_extra`` inject penalty-term cotangents on the raw cos² locals.
 
     Returns (d_pre_state, dc_k, dt_k, dmu_ray)."""
     x, y, z, cx, cy, cz, ok = pre
@@ -140,6 +142,8 @@ def _bwd_surface(c, t, mu, pre, loc, d):
     dcos = -dg * mu
 
     dcos2p = jnp.where(loc["fail2a"], 0.0, dcosp / (2.0 * cosp))
+    if dcos2p_extra is not None:
+        dcos2p = dcos2p + dcos2p_extra
     dmu_ray = dmu_ray + dcos2p * (-2.0 * mu * (1.0 - cos * cos))
     dcos = dcos + dcos2p * (2.0 * mu * mu * cos)
 
@@ -167,6 +171,8 @@ def _bwd_surface(c, t, mu, pre, loc, d):
     dcos = dcos + ddenom
 
     dcos2 = jnp.where(loc["fail1"], 0.0, dcos / (2.0 * cos))
+    if dcos2_extra is not None:
+        dcos2 = dcos2 + dcos2_extra
 
     # cos2 = cz^2 - c*temp
     dcz = dcz + 2.0 * cz * dcos2
@@ -200,9 +206,60 @@ def _bwd_surface(c, t, mu, pre, loc, d):
     return (dx, dy, dz, dcx, dcy, dcz), jnp.sum(dc_ray), dt_k, dmu_ray
 
 
-def _fwd_kernel(n_surf, w, rows, z0_ref, c_ref, t_ref, mu_ref,
-                xp_ref, yp_ref, cy_ref,
-                x_out, y_out, cx_out, cy_out, ok_out, bw_out):
+_EPS_CLIP = 1e-7
+_HALF_PI = math.pi / 2.0
+
+
+# Mosaic lowers no inverse-trig primitives, so acos is built from scratch:
+# acos(u) = 2 atan(w), w = sqrt((1-u)/(1+u)) ∈ [0, 1] for u ∈ [0, 1], with
+# atan approximated by an odd degree-17 least-squares polynomial on [0, 1]
+# (max error 2e-8; the assembled f32 acos is exact to ~3 ulp — validated in
+# tests against jnp.arccos).
+_ATAN_COEFS = (
+    0.9999998999940906, -0.3333267446706789, 0.19987155360552825,
+    -0.14170082701091266, 0.10531722142762913, -0.07302857152572637,
+    0.04057691209386289, -0.014891471622638923, 0.0025802113163714622,
+)
+
+
+def _acos(u):
+    """arccos for u ∈ [0, 1] (our u is a clipped sqrt, always ≥ 0)."""
+    w = jnp.sqrt(jnp.maximum((1.0 - u) / (1.0 + u), 0.0))
+    w2 = w * w
+    h = jnp.full_like(w, _ATAN_COEFS[-1])
+    for coef in _ATAN_COEFS[-2::-1]:
+        h = h * w2 + coef
+    return 2.0 * h * w
+
+
+def _theta_norm(cos2, ok_end):
+    """Normalized incidence angle with pinned failed lanes — must match
+    ``ops.trace._agg_entry`` bit for bit (same guards)."""
+    pos = cos2 > 0
+    safe = jnp.where(pos, jnp.sqrt(jnp.where(pos, cos2, 1.0)), 0.0)
+    theta = _acos(jnp.clip(safe, -1.0 + _EPS_CLIP,
+                           1.0 - _EPS_CLIP)) / _HALF_PI
+    return jnp.where(ok_end, theta, 1.0)
+
+
+def _theta_norm_adjoint(cos2, ok_end, dpen):
+    """d(theta_norm)/d(cos2) * dpen, zero on pinned/clipped lanes."""
+    pos = cos2 > 0
+    u = jnp.sqrt(jnp.where(pos, cos2, 1.0))
+    active = ok_end & pos & (u < 1.0 - _EPS_CLIP)
+    # d theta/du = -1/sqrt(1-u^2); du/dcos2 = 1/(2u)
+    denom = jnp.sqrt(jnp.where(active, 1.0 - u * u, 1.0))
+    d = -dpen / (_HALF_PI * denom * 2.0 * u)
+    return jnp.where(active, d, 0.0)
+
+
+def _fwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
+                xp_ref, yp_ref, cy_ref, *outs):
+    if penalties:
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
+         pth_out, ptp_out, pz_out) = outs
+    else:
+        x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
     i = pl.program_id(0)
     widx = _widx(i, rows, w)
     x = xp_ref[...]
@@ -213,6 +270,9 @@ def _fwd_kernel(n_surf, w, rows, z0_ref, c_ref, t_ref, mu_ref,
     cz = jnp.sqrt(1.0 - cy * cy)
     ok = jnp.ones(x.shape, jnp.bool_)
     bw = jnp.zeros(x.shape, jnp.bool_)
+    pen_th = jnp.zeros_like(x)
+    pen_tp = jnp.zeros_like(x)
+    pen_z = jnp.zeros_like(x)
 
     for k in range(n_surf):
         mu = _mu_of(mu_ref, k, widx, w)
@@ -221,6 +281,10 @@ def _fwd_kernel(n_surf, w, rows, z0_ref, c_ref, t_ref, mu_ref,
         if k > 0:
             bw = bw | ((loc["delta_z"] < 0) & loc["ok1"])
         ok = ok2
+        if penalties:
+            pen_th = pen_th + _theta_norm(loc["cos2"], ok)
+            pen_tp = pen_tp + _theta_norm(loc["cos2p"], ok)
+            pen_z = pen_z + jnp.maximum(z, 0.0)
 
     # transfer to image plane
     delta_z = -z
@@ -235,13 +299,23 @@ def _fwd_kernel(n_surf, w, rows, z0_ref, c_ref, t_ref, mu_ref,
     cy_out[...] = cy
     ok_out[...] = ok
     bw_out[...] = bw
+    if penalties:
+        pth_out[...] = pen_th
+        ptp_out[...] = pen_tp
+        pz_out[...] = pen_z
 
 
-def _bwd_kernel(n_surf, w, rows, z0_ref, c_ref, t_ref, mu_ref,
-                xp_ref, yp_ref, cyin_ref,
-                dx_ref, dy_ref, dcx_ref, dcy_ref,
-                dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
-                st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok):
+def _bwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
+                xp_ref, yp_ref, cyin_ref, *rest):
+    if penalties:
+        (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok) = rest
+    else:
+        (dx_ref, dy_ref, dcx_ref, dcy_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok) = rest
+        dpth_ref = dptp_ref = dpz_ref = None
     i = pl.program_id(0)
     widx = _widx(i, rows, w)
 
@@ -290,14 +364,28 @@ def _bwd_kernel(n_surf, w, rows, z0_ref, c_ref, t_ref, mu_ref,
             for wi in range(w):
                 dmu_out[0, k, wi] = 0.0
 
+    if penalties:
+        dpth = dpth_ref[...]
+        dptp = dptp_ref[...]
+        dpz = dpz_ref[...]
+
     # ---- reverse surface loop (recompute locals from stashed pre-state) ----
     for k in range(n_surf - 1, -1, -1):
         pre = (st_x[k], st_y[k], st_z[k], st_cx[k], st_cy[k], st_cz[k],
                st_ok[k])
         mu = _mu_of(mu_ref, k, widx, w)
-        _, loc = _fwd_surface(c_ref[k], t_ref[k], mu, *pre)
+        out_k, loc = _fwd_surface(c_ref[k], t_ref[k], mu, *pre)
+        dcos2_extra = dcos2p_extra = None
+        if penalties:
+            ok_end = out_k[6]
+            z_next = out_k[2]
+            # pen_z += relu(z_next): inject into the incoming z adjoint.
+            dz = dz + dpz * (z_next > 0)
+            dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
+            dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
         (dx, dy, dz, dcx, dcy, dcz), dc_k, dt_k, dmu_ray = _bwd_surface(
-            c_ref[k], t_ref[k], mu, pre, loc, (dx, dy, dz, dcx, dcy, dcz))
+            c_ref[k], t_ref[k], mu, pre, loc, (dx, dy, dz, dcx, dcy, dcz),
+            dcos2_extra, dcos2p_extra)
         dc_out[0, k] += dc_k
         dt_out[0, k] += dt_k
         for wi in range(w):
@@ -317,8 +405,9 @@ def _pad_len(n: int, rows: int) -> int:
     return int(math.ceil(n / tile) * tile)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7,))
-def trace_fused(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS):
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def trace_fused(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS,
+                penalties=False):
     """Fused spherical trace of a flat ray block on one chip.
 
     Args:
@@ -327,14 +416,18 @@ def trace_fused(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS):
       z0: scalar entrance-pupil axial position.
       c, t: (S,) curvatures / thicknesses.
       mu: (S, W) index-ratio table; ray i uses column i % W.
+      penalties: also accumulate the unsupervised-loss penalty terms
+        in-kernel (sums over surfaces of theta_norm, theta_prime_norm,
+        relu(z) per ray) — the whole Lu objective then never materializes
+        per-surface stacks in HBM.
 
-    Returns (x, y, cx, cy, ray_ok, ray_backward), each (N,).
+    Returns (x, y, cx, cy, ray_ok, ray_backward[, pen_theta, pen_theta_p,
+    pen_zrelu]), each (N,).
     """
-    out = _run_fwd(xp, yp, cy, z0, c, t, mu, rows)
-    return out
+    return _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties)
 
 
-def _run_fwd(xp, yp, cy, z0, c, t, mu, rows):
+def _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties):
     n = xp.shape[0]
     n_surf = c.shape[0]
     w = mu.shape[1]
@@ -348,12 +441,14 @@ def _run_fwd(xp, yp, cy, z0, c, t, mu, rows):
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    n_f32 = 4 + (3 if penalties else 0)
     out_shapes = (
         [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 4
-        + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.bool_)] * 2)
+        + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.bool_)] * 2
+        + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * (n_f32 - 4))
 
     outs = pl.pallas_call(
-        partial(_fwd_kernel, n_surf, w, rows),
+        partial(_fwd_kernel, n_surf, w, rows, penalties),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # z0 (1,1)
@@ -362,7 +457,7 @@ def _run_fwd(xp, yp, cy, z0, c, t, mu, rows):
             pl.BlockSpec(memory_space=pltpu.SMEM),  # mu (S,W)
             ray_spec, ray_spec, ray_spec,
         ],
-        out_specs=tuple([ray_spec] * 6),
+        out_specs=tuple([ray_spec] * len(out_shapes)),
         out_shape=tuple(out_shapes),
     )(jnp.reshape(z0, (1, 1)).astype(jnp.float32),
       c.astype(jnp.float32), t.astype(jnp.float32), mu.astype(jnp.float32),
@@ -372,14 +467,18 @@ def _run_fwd(xp, yp, cy, z0, c, t, mu, rows):
     return tuple(unpad(o) for o in outs)
 
 
-def _fused_fwd(xp, yp, cy, z0, c, t, mu, rows):
-    out = _run_fwd(xp, yp, cy, z0, c, t, mu, rows)
+def _fused_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties):
+    out = _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties)
     return out, (xp, yp, cy, z0, c, t, mu)
 
 
-def _fused_bwd(rows, residuals, cotangents):
+def _fused_bwd(rows, penalties, residuals, cotangents):
     xp, yp, cy, z0, c, t, mu = residuals
-    dx, dy, dcx, dcy, _dok, _dbw = cotangents
+    if penalties:
+        dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
+    else:
+        dx, dy, dcx, dcy, _dok, _dbw = cotangents
+        dpth = dptp = dpz = None
 
     n = xp.shape[0]
     n_surf = c.shape[0]
@@ -390,6 +489,9 @@ def _fused_bwd(rows, residuals, cotangents):
     xp2, yp2, cy2 = as2d(xp), as2d(yp), as2d(cy)
     dx2, dy2 = as2d(dx), as2d(dy)
     dcx2, dcy2 = as2d(dcx), as2d(dcy)
+    pen_in = []
+    if penalties:
+        pen_in = [as2d(dpth), as2d(dptp), as2d(dpz)]
     n_rows = xp2.shape[0]
     n_tiles = n_rows // rows
     grid = (n_tiles,)
@@ -417,7 +519,7 @@ def _fused_bwd(rows, residuals, cotangents):
     scratch.append(pltpu.VMEM((n_surf, rows, LANES), jnp.bool_))
 
     outs = pl.pallas_call(
-        partial(_bwd_kernel, n_surf, w, rows),
+        partial(_bwd_kernel, n_surf, w, rows, penalties),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -426,7 +528,7 @@ def _fused_bwd(rows, residuals, cotangents):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             ray_spec, ray_spec, ray_spec,
             ray_spec, ray_spec, ray_spec, ray_spec,
-        ],
+        ] + [ray_spec] * len(pen_in),
         out_specs=(
             ray_spec, ray_spec, ray_spec,
             scalar_tile((1,)),
@@ -438,7 +540,7 @@ def _fused_bwd(rows, residuals, cotangents):
         scratch_shapes=scratch,
     )(jnp.reshape(z0, (1, 1)).astype(jnp.float32),
       c.astype(jnp.float32), t.astype(jnp.float32), mu.astype(jnp.float32),
-      xp2, yp2, cy2, dx2, dy2, dcx2, dcy2)
+      xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
 
     dxp2, dyp2, dcy2_out, dz0_p, dc_p, dt_p, dmu_p = outs
     unpad = lambda a: a.reshape(-1)[:n]
@@ -459,12 +561,14 @@ trace_fused.defvjp(_fused_fwd, _fused_bwd)
 
 def trace_rays_fused(specs, lens, config, key: Optional[jax.Array] = None,
                      xy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                     rows: int = DEFAULT_ROWS):
+                     rows: int = DEFAULT_ROWS, penalties: bool = False):
     """``trace_rays`` on the fused Pallas kernel (B == 1, spherical).
 
     Ray aiming (if configured) runs on the jnp engine — it is a tiny tee-ray
     solve whose output is stop-gradient — and feeds the fused kernel.
-    Returns a ``TraceResult`` shaped (1, F, P, W) like the jnp engine.
+    Returns a ``TraceResult`` shaped (1, F, P, W) like the jnp engine; with
+    ``penalties`` it returns ``(TraceResult, (pen_theta, pen_theta_p,
+    pen_zrelu))`` where each penalty is the per-ray sum over surfaces.
     """
     from torchoptics_tpu.models import glass as glass_mod
     from torchoptics_tpu.ops import abcd as abcd_mod
@@ -509,11 +613,37 @@ def trace_rays_fused(specs, lens, config, key: Optional[jax.Array] = None,
     P = xpb.shape[1]
     cyb = jnp.broadcast_to(cy[:, None, None], (F, P, W))
 
-    x, y, cx, cy_out, ok, bw = trace_fused(
+    outs = trace_fused(
         xpb.reshape(-1), ypb.reshape(-1), cyb.reshape(-1), z0,
-        lens.c[0], lens.t[0], mu, rows)
+        lens.c[0], lens.t[0], mu, rows, penalties)
+    x, y, cx, cy_out, ok, bw = outs[:6]
 
     shape = (1, F, P, W)
-    return trace_mod.TraceResult(
+    result = trace_mod.TraceResult(
         x.reshape(shape), y.reshape(shape), cx.reshape(shape),
         cy_out.reshape(shape), ok.reshape(shape), bw.reshape(shape), None)
+    if penalties:
+        pens = tuple(p.reshape(shape) for p in outs[6:])
+        return result, pens
+    return result
+
+
+def unsupervised_loss_fused(specs, lens, config,
+                            key: Optional[jax.Array] = None,
+                            rows: int = DEFAULT_ROWS):
+    """The full unsupervised lens-design objective Lu = rms + rate·ΣQ on the
+    fused kernel — no per-surface stacks ever touch HBM.
+
+    ``config`` is a ``simulator.SimulatorConfig``. Matches
+    ``simulator.do_ray_tracing``'s loss_dict numerically (tested).
+    Returns (Lu, loss_dict).
+    """
+    from torchoptics_tpu.ops import metrics as metrics_mod
+    cfg = config.trace_config()
+    result, (pth, ptp, pz) = trace_rays_fused(
+        specs, lens, cfg, key=key, rows=rows, penalties=True)
+    rms = metrics_mod.compute_rms2d(result.x, result.y, result.ray_ok)[0]
+    n_sequence = len(lens.structure.sequence[0])
+    sumQ = (jnp.sum(pth) + jnp.sum(ptp) + jnp.sum(pz)) / n_sequence
+    Lu = rms + config.penalty_rate * sumQ
+    return Lu, {"loss_unsup": Lu, "rms": rms, "penalty": sumQ}
