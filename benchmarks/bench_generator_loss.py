@@ -1,0 +1,108 @@
+"""Benchmark the generator-training loss over a lens population.
+
+Workload: the reference's neural-lens-design loss (`optical_loss.py:81-83`:
+8 fields x 8x8 pupil rays x 3 wavelengths per sample), batched. Compares:
+
+  * fused Pallas population kernel (grid over systems),
+  * vmapped XLA engine,
+  * (reference executes this as a serial Python loop per sample on torch;
+    see tests/test_reference_parity.py for the oracle — it is orders of
+    magnitude slower and not timed here.)
+
+Usage: python benchmarks/bench_generator_loss.py [--batch 256]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_population(n, name="cooke", seed=0):
+    from torchoptics_tpu import zoo
+    from torchoptics_tpu.models.structure import Lens, Specs, Structure
+    p = zoo.get_prescription(name)
+    st = Structure(tuple(p["stop_idx"] * n), tuple(p["sequence"] * n))
+    rng = np.random.default_rng(seed)
+    c = np.tile(np.asarray(p["c"], np.float32), (n, 1))
+    t = np.tile(np.asarray(p["t"], np.float32), (n, 1))
+    c *= 1.0 + 0.02 * rng.standard_normal(c.shape).astype(np.float32)
+    gpos = [i for i, ch in enumerate(p["sequence"][0]) if ch == "G"]
+    nd = np.ones_like(c)
+    v = np.ones_like(c)
+    for gi, i in enumerate(gpos):
+        nd[:, i] = p["nd"][gi]
+        v[:, i] = p["v"][gi]
+    lens = Lens(st, jnp.asarray(c), jnp.asarray(t), jnp.asarray(nd),
+                jnp.asarray(v))
+    base_specs, _ = zoo.build(name)
+    specs = Specs(st, jnp.tile(base_specs.epd, n),
+                  jnp.tile(base_specs.hfov, n))
+    return specs, lens
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    args = ap.parse_args()
+
+    from torchoptics_tpu import metrics, trace
+    from torchoptics_tpu import simulator as sim
+    from torchoptics_tpu.ops import pallas_batch as pb
+
+    specs, lens = make_population(args.batch)
+    # reference loss-bridge scale: 8 fields x 8x8 rays x 3 wavelengths
+    cfg = sim.SimulatorConfig(n_sampled_fields=8, n_pupil_rings=8,
+                              pupil_sampling="circular",
+                              n_ray_aiming_iter=1,
+                              wavelengths=(459.0, 520.0, 640.0))
+    n_rays = args.batch * 8 * 64 * 3
+    n_surf = int(lens.structure.n_surfaces[0])
+
+    def lu_xla(c, t):
+        l = lens.replace(c=c, t=t)
+        res = trace.trace_rays(specs, l, cfg.trace_config(),
+                               aggregate=trace.AGG_TORCH)
+        rms = metrics.compute_rms2d(res.x, res.y, res.ray_ok)
+        n_seq = len(lens.structure.sequence[0])
+        Q = (jnp.sum(res.stacks["theta_norm"], 0)
+             + jnp.sum(res.stacks["theta_prime_norm"], 0)
+             + jnp.sum(res.stacks["z_RELU"], 0)) / n_seq
+        return jnp.mean(rms + cfg.penalty_rate * jnp.sum(Q, axis=(1, 2, 3)))
+
+    def lu_pallas(c, t):
+        mean_lu, _ = pb.batched_unsupervised_loss(specs,
+                                                  lens.replace(c=c, t=t), cfg)
+        return mean_lu
+
+    fns = [("xla", lu_xla)]
+    if jax.default_backend() == "tpu":
+        fns.append(("pallas-batch", lu_pallas))
+
+    print(f"batch={args.batch} systems x {8 * 64 * 3} rays x {n_surf} "
+          f"surfaces, device={jax.devices()[0]}")
+    for name, f in fns:
+        step = jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
+        out = step(lens.c, lens.t)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = step(lens.c, lens.t)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / 10)
+        print(f"{name:14s} {best * 1e3:8.3f} ms/step  "
+              f"{args.batch / best:8.0f} designs/s  "
+              f"{n_rays * n_surf / best / 1e6:8.0f} Mint/s")
+
+
+if __name__ == "__main__":
+    main()

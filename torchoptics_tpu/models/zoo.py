@@ -77,14 +77,14 @@ TESSAR = {
 DOUBLE_GAUSS = {
     "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
     "f_number": [2.0],
-    "c": [0.0006187070976011455, 0.011389133520424366, 0.014633883722126484,
-          -0.018327612429857254, 0.002910451265051961, 0.0,
-          7.22491749911569e-05, 0.012452657334506512, -0.011642261408269405,
-          0.007368647959083319, -0.011818691156804562],
-    "t": [1.5545737743377686, 11.536102294921875, 5.054161548614502,
-          1.7062876224517822, 3.124490976333618, 4.702038764953613,
-          8.74128532409668, 10.001749992370605, 9.484201431274414,
-          9.966080665588379, 44.052974700927734],
+    "c": [0.004144622012972832, 0.008009941317141056, 0.01668670028448105,
+          -0.012615634128451347, 0.0011268508387729526, 0.0,
+          0.00026637446717359126, 0.02674313262104988, -0.011860108934342861,
+          0.014774277806282043, -0.0064410618506371975],
+    "t": [4.4349045753479, 0.926776111125946, 11.966642379760742,
+          1.5519028902053833, 6.398704528808594, 13.965265274047852,
+          8.42414379119873, 11.984062194824219, 8.155269622802734,
+          8.944452285766602, 25.085935592651367],
     "nd": [1.6779, 1.6516, 1.6990, 1.6990, 1.6516, 1.6779],
     "v": [55.34, 58.52, 30.05, 30.05, 58.52, 55.34],
 }

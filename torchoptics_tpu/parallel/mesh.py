@@ -60,3 +60,21 @@ def lens_sharding(mesh: Mesh) -> NamedSharding:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return int(math.ceil(n / m) * m)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX (DCN data parallelism across slices).
+
+    Thin wrapper over ``jax.distributed.initialize``; after it returns,
+    ``jax.devices()`` spans all hosts and :func:`make_mesh` builds a global
+    mesh whose ``lens`` axis can cross slice boundaries (parameter traffic is
+    negligible — lens tables are tiny) while ``rays`` stays within a slice on
+    ICI. No other communication backend is needed for this workload
+    (SURVEY §2.8/§5)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

@@ -82,7 +82,10 @@ def shard_map_mean_rms(x: jnp.ndarray, y: jnp.ndarray, ray_ok: jnp.ndarray,
     """Explicit shard_map + psum version of the spot-RMS reduction, for
     verifying the GSPMD-lowered path: each device reduces its ray shard, then
     all-reduces over the ``rays`` axis."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     B, F, Ptot, W = y.shape
 

@@ -50,6 +50,7 @@ class SimulatorConfig:
     ray_angle_weight: float = 100.0
     ray_angle_threshold: float = 60.0
     glass_weight: float = 0.01
+    unsup_weight: float = 1.0
     loss_multiplier: float = 1.0
     # PSF / image-formation geometry (`optics_simulator_lite.py:37-41`)
     psf_shape: Tuple[int, int] = (65, 65)
@@ -89,7 +90,7 @@ class SimulatorConfig:
             "spot_size": self.spot_size_weight * self.loss_multiplier,
             "ray_path": self.ray_path_weight * self.loss_multiplier,
             "ray_angle": self.ray_angle_weight * self.loss_multiplier,
-            "loss_unsup": 1.0,
+            "loss_unsup": self.unsup_weight,
         }
 
 
