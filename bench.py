@@ -23,6 +23,12 @@ import numpy as np
 TARGET_INTERSECTIONS_PER_SEC = 100e6
 
 
+def _ensure_backend():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torchoptics_tpu.utils.backend import ensure_backend
+    ensure_backend()
+
+
 def _time_step(step, args, n_iter=10, reps=3):
     out = step(*args)
     jax.block_until_ready(out)
@@ -37,6 +43,7 @@ def _time_step(step, args, n_iter=10, reps=3):
 
 
 def main():
+    _ensure_backend()
     from torchoptics_tpu.models import zoo
     from torchoptics_tpu.ops import metrics as metrics_mod
     from torchoptics_tpu.ops import pallas_trace as pallas_mod

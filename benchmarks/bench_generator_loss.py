@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from torchoptics_tpu.utils.backend import ensure_backend
+
 
 def make_population(n, name="cooke", seed=0):
     from torchoptics_tpu import zoo
@@ -49,6 +51,7 @@ def make_population(n, name="cooke", seed=0):
 
 
 def main():
+    ensure_backend()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     args = ap.parse_args()

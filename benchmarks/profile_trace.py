@@ -16,8 +16,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import jax
 import numpy as np
 
+from torchoptics_tpu.utils.backend import ensure_backend
+
 
 def run(rings: int, fields: int, profile: bool, aiming: int):
+    ensure_backend()
     from torchoptics_tpu import metrics, trace, zoo
     from torchoptics_tpu.ops import pallas_trace
 
