@@ -1,0 +1,705 @@
+"""Pallas TPU kernel for the fused conic + even-asphere trace (fwd + VJP).
+
+Completes the north-star requirement ("Newton-iteration intersection with
+conic+aspheric sag becomes Pallas kernels", BASELINE.json): the per-surface
+Newton solve runs unrolled inside the kernel, and the hand-derived backward
+replicates the XLA engine's implicit-differentiation semantics exactly —
+``n_iter`` Newton steps are treated as constants and one differentiable
+polish step carries all first-order sensitivity (see
+``ops.surfaces.find_marching_distance_asphere``).
+
+Closed forms used for the adjoints (u = (1+κ)c²r², w = √(1−u)):
+
+    sag(r²)  = c r²/(1+w) + Σₖ aₖ (r²)^{k+2}
+    g = ∂sag/∂r² = c/(2w) + Σₖ aₖ (k+2)(r²)^{k+1}
+    h = ∂g/∂r²   = c(1+κ)c²/(4w³) + Σₖ aₖ (k+2)(k+1)(r²)^k
+    ∂sag/∂c = r²/(1+w) + u r²/(w(1+w)²)      ∂g/∂c = 1/(2w) + u/(2w³)
+    ∂sag/∂κ = c³ r⁴/(2w(1+w)²)               ∂g/∂κ = c³ r²/(4w³)
+    ∂sag/∂aₖ = (r²)^{k+2}                    ∂g/∂aₖ = (k+2)(r²)^{k+1}
+
+Failure-mask semantics mirror the XLA engine (sag-domain guard, stationary
+Newton derivative, non-convergence, cos² floor, TIR, cz² collapse), with
+zero gradient through failed lanes. Parity is pinned by tests against
+``jax.grad`` of the jnp asphere engine.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from torchoptics_tpu.ops.pallas_trace import (
+    LANES, _theta_norm, _theta_norm_adjoint, _widx, _mu_of, _pad_len)
+
+EPS = 1e-6
+DEFAULT_ROWS = 32
+NEWTON_ITERS = 10
+NEWTON_TOL = 1e-5
+
+
+def _sag_terms(c, kappa, a_ref, k_surf, n_asph, r2):
+    """sag, g and the domain guard at r²  (a_ref: SMEM (S, K) or None)."""
+    beta = (1.0 + kappa) * c * c
+    u = beta * r2
+    guard = 1.0 - u < EPS
+    w = jnp.sqrt(jnp.where(guard, 1.0, 1.0 - u))
+    sag = c * r2 / (1.0 + w)
+    g = c / (2.0 * w)
+    for k in range(n_asph):
+        ak = a_ref[k_surf, k]
+        sag = sag + ak * r2 ** (k + 2)
+        g = g + ak * (k + 2.0) * r2 ** (k + 1)
+    return sag, g, guard, w, u
+
+
+def _g_partials(c, kappa, a_ref, k_surf, n_asph, r2, w, u):
+    """(h, g_c, g_kappa, sag_c, sag_kappa) at r² (aₖ partials are powers)."""
+    beta = (1.0 + kappa) * c * c
+    w3 = w * w * w
+    h = c * beta / (4.0 * w3)
+    g_c = 1.0 / (2.0 * w) + u / (2.0 * w3)
+    g_kap = c * c * c * r2 / (4.0 * w3)
+    opw = 1.0 + w
+    sag_c = r2 / opw + u * r2 / (w * opw * opw)
+    sag_kap = c * c * c * r2 * r2 / (2.0 * w * opw * opw)
+    for k in range(n_asph):
+        ak = a_ref[k_surf, k]
+        h = h + ak * (k + 2.0) * (k + 1.0) * r2 ** k
+    return h, g_c, g_kap, sag_c, sag_kap
+
+
+def _newton_dist(c, kappa, a_ref, k_surf, n_asph, x, y, z, cx, cy, cz):
+    """Initial sphere/plane guess + NEWTON_ITERS steps + polish.
+
+    Returns (dist, s_pre, f, fp, fp_safe, stationary, not_conv) where f/fp
+    are evaluated at s_pre (the pre-polish point — the values the polish
+    step and its adjoint need)."""
+    # closed-form sphere guess (reference ray_tracing_lite.py:525-545)
+    e = -(x * cx + y * cy + z * cz)
+    mz = z + e * cz
+    m2 = x * x + y * y + z * z - e * e
+    temp = c * m2 - 2.0 * mz
+    cos2_s = cz * cz - c * temp
+    fail_s = cos2_s - EPS < 0
+    cos_s = jnp.sqrt(jnp.where(fail_s, 1.0, cos2_s))
+    dist_s = e + temp / (cz + cos_s)
+    plane_ok = jnp.abs(cz) > EPS
+    plane = jnp.where(plane_ok, -z / jnp.where(plane_ok, cz, 1.0), 0.0)
+    s = jnp.where(fail_s, plane, dist_s)
+
+    def f_fp(s):
+        xs = x + s * cx
+        ys = y + s * cy
+        r2 = xs * xs + ys * ys
+        sag, g, guard, w, u = _sag_terms(c, kappa, a_ref, k_surf, n_asph, r2)
+        f = (z + s * cz) - sag
+        fp = cz - 2.0 * g * (xs * cx + ys * cy)
+        return f, fp, guard
+
+    for _ in range(NEWTON_ITERS):
+        f, fp, _ = f_fp(s)
+        fp_s = jnp.where(jnp.abs(fp) > EPS, fp,
+                         jnp.where(fp >= 0, EPS, -EPS))
+        s = s - f / fp_s
+
+    # polish (the only differentiable step; s is constant for the adjoint)
+    f, fp, guard_pre = f_fp(s)
+    stationary = jnp.abs(fp) < EPS
+    fp_safe = jnp.where(stationary, 1.0, fp)
+    dist = s - f / fp_safe
+    not_conv = jnp.abs(f) > NEWTON_TOL
+    return dist, s, f, fp, fp_safe, stationary, not_conv, guard_pre
+
+
+def _fwd_surface_a(c, kappa, t, mu, a_ref, k_surf, n_asph,
+                   x, y, z, cx, cy, cz, ok):
+    """One conic/asphere surface step; mirrors the jnp asphere engine
+    (ops.surfaces.find_marching_distance_asphere + apply_snell_general)."""
+    (dist, s_pre, f, fp, fp_safe, stationary, not_conv,
+     guard_pre) = _newton_dist(
+        c, kappa, a_ref, k_surf, n_asph, x, y, z, cx, cy, cz)
+
+    xs = x + dist * cx
+    ys = y + dist * cy
+    zA = z + dist * cz
+    delta_z = dist * cz
+    r2 = xs * xs + ys * ys
+    _, g, guard2, w, u = _sag_terms(c, kappa, a_ref, k_surf, n_asph, r2)
+    norm2 = 1.0 + 4.0 * r2 * g * g
+    inv_norm = jax.lax.rsqrt(norm2)
+    dots = xs * cx + ys * cy
+    cosr = (cz - 2.0 * g * dots) * inv_norm
+    cos2 = cosr * cosr
+
+    fail1 = guard_pre | guard2 | stationary | not_conv | (cos2 - EPS < 0)
+    cos = jnp.sqrt(jnp.where(fail1, 1.0, cos2))
+
+    ok1 = ok & ~fail1
+    xB = jnp.where(ok1, xs, 0.0)
+    yB = jnp.where(ok1, ys, 0.0)
+    zB = jnp.where(ok1, zA, 0.0)
+    cxB = jnp.where(ok1, cx, 0.0)
+    cyB = jnp.where(ok1, cy, 0.0)
+
+    # Snell with the true normal at (xB, yB) (matches apply_snell_general)
+    r2B = xB * xB + yB * yB
+    _, gB, _, wB, uB = _sag_terms(c, kappa, a_ref, k_surf, n_asph, r2B)
+    norm2B = 1.0 + 4.0 * r2B * gB * gB
+    inv_normB = jax.lax.rsqrt(norm2B)
+    cos2p = 1.0 - mu * mu * (1.0 - cos * cos)
+    fail2a = cos2p - EPS < 0
+    cosp = jnp.sqrt(jnp.where(fail2a, 1.0, cos2p))
+    gsn = cosp - mu * cos
+    nx = 2.0 * xB * gB * inv_normB
+    ny = 2.0 * yB * gB * inv_normB
+    cxC = mu * cxB - gsn * nx
+    cyC = mu * cyB - gsn * ny
+    cz2 = 1.0 - (cxC * cxC + cyC * cyC)
+    fail2 = fail2a | (cz2 - EPS < 0)
+    czC = jnp.sqrt(jnp.where(fail2, 1.0, cz2))
+
+    ok2 = ok1 & ~fail2
+    xD = jnp.where(ok2, xB, 0.0)
+    yD = jnp.where(ok2, yB, 0.0)
+    zD = jnp.where(ok2, zB, 0.0) - t
+    cxD = jnp.where(ok2, cxC, 0.0)
+    cyD = jnp.where(ok2, cyC, 0.0)
+    czD = jnp.where(ok2, czC, 1.0)
+
+    loc = dict(dist=dist, s_pre=s_pre, f=f, fp=fp, fp_safe=fp_safe,
+               stationary=stationary, delta_z=delta_z,
+               xs=xs, ys=ys, r2=r2, g=g, w=w, u=u, inv_norm=inv_norm,
+               dots=dots, cosr=cosr, cos2=cos2, cos=cos,
+               fail1=fail1, ok1=ok1, xB=xB, yB=yB, cxB=cxB, cyB=cyB,
+               r2B=r2B, gB=gB, wB=wB, uB=uB, inv_normB=inv_normB,
+               cos2p=cos2p, fail2a=fail2a, cosp=cosp, gsn=gsn,
+               nx=nx, ny=ny, cxC=cxC, cyC=cyC, czC=czC, fail2=fail2,
+               ok2=ok2)
+    return (xD, yD, zD, cxD, cyD, czD, ok2), loc
+
+
+def _bwd_surface_a(c, kappa, t, mu, a_ref, k_surf, n_asph, pre, loc, d,
+                   dcos2_extra=None, dcos2p_extra=None):
+    """Adjoint of ``_fwd_surface_a``. Returns
+    (d_pre_state, dc, dkappa, dt, dmu_ray, da_list)."""
+    x, y, z, cx, cy, cz, ok = pre
+    dxD, dyD, dzD, dcxD, dcyD, dczD = d
+    ok1, ok2 = loc["ok1"], loc["ok2"]
+    dist, s_pre = loc["dist"], loc["s_pre"]
+    xs, ys, r2, g, w, u = (loc["xs"], loc["ys"], loc["r2"], loc["g"],
+                           loc["w"], loc["u"])
+    inv_norm, dots, cosr, cos = (loc["inv_norm"], loc["dots"], loc["cosr"],
+                                 loc["cos"])
+    xB, yB, cxB, cyB = loc["xB"], loc["yB"], loc["cxB"], loc["cyB"]
+    r2B, gB, wB, uB, inv_normB = (loc["r2B"], loc["gB"], loc["wB"],
+                                  loc["uB"], loc["inv_normB"])
+    cosp, gsn, nx, ny = loc["cosp"], loc["gsn"], loc["nx"], loc["ny"]
+    cxC, cyC, czC = loc["cxC"], loc["cyC"], loc["czC"]
+
+    da = [jnp.zeros_like(dxD) for _ in range(n_asph)]
+
+    dt_k = -jnp.sum(dzD)
+
+    # reset2 + cz renormalization
+    dczC = jnp.where(ok2, dczD, 0.0)
+    dcz2 = jnp.where(loc["fail2"], 0.0, dczC / (2.0 * czC))
+    dcxC = jnp.where(ok2, dcxD, 0.0) - 2.0 * cxC * dcz2
+    dcyC = jnp.where(ok2, dcyD, 0.0) - 2.0 * cyC * dcz2
+
+    # snell: cxC = mu cxB - gsn nx
+    dxB = jnp.where(ok2, dxD, 0.0)
+    dyB = jnp.where(ok2, dyD, 0.0)
+    dzB = jnp.where(ok2, dzD, 0.0)
+    dcxB = mu * dcxC
+    dcyB = mu * dcyC
+    dmu_ray = dcxC * cxB + dcyC * cyB
+    dgsn = -(dcxC * nx + dcyC * ny)
+    dnx = -dcxC * gsn
+    dny = -dcyC * gsn
+
+    # nx = 2 xB gB inv_normB
+    dxB = dxB + dnx * 2.0 * gB * inv_normB
+    dyB = dyB + dny * 2.0 * gB * inv_normB
+    dgB = (dnx * xB + dny * yB) * 2.0 * inv_normB
+    dinv_normB = (dnx * xB + dny * yB) * 2.0 * gB
+    # inv_normB = rsqrt(1 + 4 r2B gB^2)
+    dnorm2B = dinv_normB * (-0.5) * inv_normB ** 3
+    dr2B = dnorm2B * 4.0 * gB * gB
+    dgB = dgB + dnorm2B * 8.0 * r2B * gB
+
+    # gsn = cosp - mu cos
+    dcosp = dgsn
+    dmu_ray = dmu_ray - dgsn * cos
+    dcos = -dgsn * mu
+    dcos2p = jnp.where(loc["fail2a"], 0.0, dcosp / (2.0 * cosp))
+    if dcos2p_extra is not None:
+        dcos2p = dcos2p + dcos2p_extra
+    dmu_ray = dmu_ray + dcos2p * (-2.0 * mu * (1.0 - cos * cos))
+    dcos = dcos + dcos2p * (2.0 * mu * mu * cos)
+
+    # gB(r2B; params)
+    hB, gB_c, gB_kap, _, _ = _g_partials(c, kappa, a_ref, k_surf, n_asph,
+                                         r2B, wB, uB)
+    dc_ray = dgB * gB_c
+    dkap_ray = dgB * gB_kap
+    for k in range(n_asph):
+        da[k] = da[k] + dgB * (k + 2.0) * r2B ** (k + 1)
+    dr2B = dr2B + dgB * hB
+    # r2B = xB^2 + yB^2
+    dxB = dxB + 2.0 * xB * dr2B
+    dyB = dyB + 2.0 * yB * dr2B
+
+    # reset1 (czB dead — snell renormalizes cz)
+    dxs = jnp.where(ok1, dxB, 0.0)
+    dys = jnp.where(ok1, dyB, 0.0)
+    dzA = jnp.where(ok1, dzB, 0.0)
+    dcx = jnp.where(ok1, dcxB, 0.0)
+    dcy = jnp.where(ok1, dcyB, 0.0)
+
+    # cos chain: cos = sqrt(sel(fail1, 1, cos2)), cos2 = cosr^2,
+    # cosr = (cz - 2 g dots) * inv_norm
+    dcos2 = jnp.where(loc["fail1"], 0.0, dcos / (2.0 * cos))
+    if dcos2_extra is not None:
+        dcos2 = dcos2 + dcos2_extra
+    dcosr = 2.0 * cosr * dcos2
+    dFsv = dcosr * inv_norm          # adjoint of (cz - 2 g dots)
+    dinv_norm = dcosr * (cz - 2.0 * g * dots)
+    dnorm2 = dinv_norm * (-0.5) * inv_norm ** 3
+    dr2 = dnorm2 * 4.0 * g * g
+    dg = dnorm2 * 8.0 * r2 * g
+    dcz = dFsv
+    dg = dg - dFsv * 2.0 * dots
+    ddots = -dFsv * 2.0 * g
+    dxs = dxs + ddots * cx
+    dcx = dcx + ddots * xs
+    dys = dys + ddots * cy
+    dcy = dcy + ddots * ys
+
+    # g(r2; params) at the hit point
+    h_, g_c, g_kap, sag_c, sag_kap = _g_partials(c, kappa, a_ref, k_surf,
+                                                 n_asph, r2, w, u)
+    dc_ray = dc_ray + dg * g_c
+    dkap_ray = dkap_ray + dg * g_kap
+    for k in range(n_asph):
+        da[k] = da[k] + dg * (k + 2.0) * r2 ** (k + 1)
+    dr2 = dr2 + dg * h_
+    # r2 = xs^2 + ys^2
+    dxs = dxs + 2.0 * xs * dr2
+    dys = dys + 2.0 * ys * dr2
+
+    # position update at dist: xs = x + dist cx, zA = z + dist cz
+    ddist = dxs * cx + dys * cy + dzA * cz
+    dx = dxs
+    dy = dys
+    dz = dzA
+    dcx = dcx + dxs * dist
+    dcy = dcy + dys * dist
+    dcz = dcz + dzA * dist
+
+    # polish step: dist = s_pre - f/fp_safe  (s_pre constant)
+    fp_safe = loc["fp_safe"]
+    df = -ddist / fp_safe
+    dfp = jnp.where(loc["stationary"], 0.0,
+                    ddist * loc["f"] / (fp_safe * fp_safe))
+
+    # f and fp are evaluated at s_pre: recompute that point's locals.
+    xsp = x + s_pre * cx
+    ysp = y + s_pre * cy
+    r2p = xsp * xsp + ysp * ysp
+    sag_p, g_p, _, wp, up = _sag_terms(c, kappa, a_ref, k_surf, n_asph, r2p)
+    hp, gp_c, gp_kap, sagp_c, sagp_kap = _g_partials(
+        c, kappa, a_ref, k_surf, n_asph, r2p, wp, up)
+    dotsp = xsp * cx + ysp * cy
+
+    # f = (z + s_pre cz) - sag(r2p)
+    dz = dz + df
+    dcz = dcz + df * s_pre
+    dsag = -df
+    dc_ray = dc_ray + dsag * sagp_c
+    dkap_ray = dkap_ray + dsag * sagp_kap
+    for k in range(n_asph):
+        da[k] = da[k] + dsag * r2p ** (k + 2)
+    dr2p = dsag * g_p  # d sag/d r2 = g
+
+    # fp = cz - 2 g_p dotsp
+    dcz = dcz + dfp
+    dgp = -dfp * 2.0 * dotsp
+    ddotsp = -dfp * 2.0 * g_p
+    dc_ray = dc_ray + dgp * gp_c
+    dkap_ray = dkap_ray + dgp * gp_kap
+    for k in range(n_asph):
+        da[k] = da[k] + dgp * (k + 2.0) * r2p ** (k + 1)
+    dr2p = dr2p + dgp * hp
+
+    dxsp = 2.0 * xsp * dr2p + ddotsp * cx
+    dysp = 2.0 * ysp * dr2p + ddotsp * cy
+    dcx = dcx + ddotsp * xsp
+    dcy = dcy + ddotsp * ysp
+    # xsp = x + s_pre cx (s_pre constant)
+    dx = dx + dxsp
+    dy = dy + dysp
+    dcx = dcx + dxsp * s_pre
+    dcy = dcy + dysp * s_pre
+
+    return ((dx, dy, dz, dcx, dcy, dcz),
+            jnp.sum(dc_ray), jnp.sum(dkap_ray), dt_k, dmu_ray,
+            [jnp.sum(v) for v in da])
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties,
+                  z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref,
+                  xp_ref, yp_ref, cy_ref, *outs):
+    if penalties:
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
+         pth_out, ptp_out, pz_out) = outs
+    else:
+        x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
+    i = pl.program_id(0)
+    widx = _widx(i, rows, w)
+    x = xp_ref[...]
+    y = yp_ref[...]
+    cy = cy_ref[...]
+    z = jnp.full(x.shape, z0_ref[0, 0])
+    cx = jnp.zeros_like(x)
+    cz = jnp.sqrt(1.0 - cy * cy)
+    ok = jnp.ones(x.shape, jnp.bool_)
+    bw = jnp.zeros(x.shape, jnp.bool_)
+    pen_th = jnp.zeros_like(x)
+    pen_tp = jnp.zeros_like(x)
+    pen_z = jnp.zeros_like(x)
+
+    for k in range(n_surf):
+        mu = _mu_of(mu_ref, k, widx, w)
+        (x, y, z, cx, cy, cz, ok2), loc = _fwd_surface_a(
+            c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph,
+            x, y, z, cx, cy, cz, ok)
+        if k > 0:
+            bw = bw | ((loc["delta_z"] < 0) & loc["ok1"])
+        ok = ok2
+        if penalties:
+            pen_th = pen_th + _theta_norm(loc["cos2"], ok)
+            pen_tp = pen_tp + _theta_norm(loc["cos2p"], ok)
+            pen_z = pen_z + jnp.maximum(z, 0.0)
+
+    delta_z = -z
+    dist = delta_z / cz
+    x = x + dist * cx
+    y = y + dist * cy
+    bw = bw | ((delta_z < 0) & ok)
+
+    x_out[...] = x
+    y_out[...] = y
+    cx_out[...] = cx
+    cy_out[...] = cy
+    ok_out[...] = ok
+    bw_out[...] = bw
+    if penalties:
+        pth_out[...] = pen_th
+        ptp_out[...] = pen_tp
+        pz_out[...] = pen_z
+
+
+def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties,
+                  z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref,
+                  xp_ref, yp_ref, cyin_ref, *rest):
+    if penalties:
+        (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
+         dmu_out, da_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok) = rest
+    else:
+        (dx_ref, dy_ref, dcx_ref, dcy_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
+         dmu_out, da_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok) = rest
+        dpth_ref = dptp_ref = dpz_ref = None
+    i = pl.program_id(0)
+    widx = _widx(i, rows, w)
+
+    x = xp_ref[...]
+    y = yp_ref[...]
+    cy = cyin_ref[...]
+    z = jnp.full(x.shape, z0_ref[0, 0])
+    cx = jnp.zeros_like(x)
+    cz0 = jnp.sqrt(1.0 - cy * cy)
+    cz = cz0
+    ok = jnp.ones(x.shape, jnp.bool_)
+
+    for k in range(n_surf):
+        st_x[k] = x
+        st_y[k] = y
+        st_z[k] = z
+        st_cx[k] = cx
+        st_cy[k] = cy
+        st_cz[k] = cz
+        st_ok[k] = ok
+        mu = _mu_of(mu_ref, k, widx, w)
+        (x, y, z, cx, cy, cz, ok), _ = _fwd_surface_a(
+            c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph,
+            x, y, z, cx, cy, cz, ok)
+
+    dx_img = dx_ref[...]
+    dy_img = dy_ref[...]
+    dist_f = -z / cz
+    dcx = dcx_ref[...] + dx_img * dist_f
+    dcy = dcy_ref[...] + dy_img * dist_f
+    ddist = dx_img * cx + dy_img * cy
+    dz = -ddist / cz
+    dcz = ddist * (z / (cz * cz))
+    dx = dx_img
+    dy = dy_img
+
+    @pl.when(i == 0)
+    def _():
+        dz0_out[0, 0] = 0.0
+        for k in range(n_surf):
+            dc_out[0, k] = 0.0
+            dkap_out[0, k] = 0.0
+            dt_out[0, k] = 0.0
+            for wi in range(w):
+                dmu_out[0, k, wi] = 0.0
+            for ai in range(n_asph):
+                da_out[0, k, ai] = 0.0
+
+    if penalties:
+        dpth = dpth_ref[...]
+        dptp = dptp_ref[...]
+        dpz = dpz_ref[...]
+
+    for k in range(n_surf - 1, -1, -1):
+        pre = (st_x[k], st_y[k], st_z[k], st_cx[k], st_cy[k], st_cz[k],
+               st_ok[k])
+        mu = _mu_of(mu_ref, k, widx, w)
+        out_k, loc = _fwd_surface_a(
+            c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph, *pre)
+        dcos2_extra = dcos2p_extra = None
+        if penalties:
+            ok_end = out_k[6]
+            z_next = out_k[2]
+            dz = dz + dpz * (z_next > 0)
+            dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
+            dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
+        ((dx, dy, dz, dcx, dcy, dcz), dc_k, dkap_k, dt_k, dmu_ray,
+         da_k) = _bwd_surface_a(
+            c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph, pre, loc,
+            (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra)
+        dc_out[0, k] += dc_k
+        dkap_out[0, k] += dkap_k
+        dt_out[0, k] += dt_k
+        for wi in range(w):
+            dmu_out[0, k, wi] += jnp.sum(
+                jnp.where(widx == wi, dmu_ray, 0.0))
+        for ai in range(n_asph):
+            da_out[0, k, ai] += da_k[ai]
+
+    dcy = dcy + dcz * (-cy / cz0)
+    dxp_out[...] = dx
+    dyp_out[...] = dy
+    dcyin_out[...] = dcy
+    dz0_out[0, 0] += jnp.sum(dz)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def trace_fused_asphere(xp, yp, cy, z0, c, kappa, t, mu, asph,
+                        rows=DEFAULT_ROWS, penalties=False):
+    """Fused conic/asphere trace of a flat ray block (single system).
+
+    Args are as in ``pallas_trace.trace_fused`` plus ``kappa`` (S,) conic
+    constants and ``asph`` (S, K) even-asphere coefficients.
+    """
+    return _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties)
+
+
+def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties):
+    n = xp.shape[0]
+    n_surf = c.shape[0]
+    w = mu.shape[1]
+    n_asph = asph.shape[1]
+    n_pad = _pad_len(n, rows)
+    pad = lambda a: jnp.pad(a, (0, n_pad - n)) if n_pad != n else a
+    xp2 = pad(xp).reshape(-1, LANES)
+    yp2 = pad(yp).reshape(-1, LANES)
+    cy2 = pad(cy).reshape(-1, LANES)
+    n_rows = xp2.shape[0]
+    grid = (n_rows // rows,)
+
+    ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    n_out = 9 if penalties else 6
+    out_shapes = (
+        [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.bool_)] * 2
+        + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * (n_out - 6))
+
+    outs = pl.pallas_call(
+        partial(_fwd_kernel_a, n_surf, w, rows, n_asph, penalties),
+        grid=grid,
+        in_specs=[smem] * 6 + [ray_spec] * 3,
+        out_specs=tuple([ray_spec] * n_out),
+        out_shape=tuple(out_shapes),
+    )(jnp.reshape(z0, (1, 1)).astype(jnp.float32),
+      c.astype(jnp.float32), kappa.astype(jnp.float32),
+      t.astype(jnp.float32), mu.astype(jnp.float32),
+      asph.astype(jnp.float32), xp2, yp2, cy2)
+
+    unpad = lambda a: a.reshape(-1)[:n]
+    return tuple(unpad(o) for o in outs)
+
+
+def _fused_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties):
+    out = _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties)
+    return out, (xp, yp, cy, z0, c, kappa, t, mu, asph)
+
+
+def _fused_bwd_a(rows, penalties, residuals, cotangents):
+    xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
+    if penalties:
+        dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
+    else:
+        dx, dy, dcx, dcy, _dok, _dbw = cotangents
+        dpth = dptp = dpz = None
+
+    n = xp.shape[0]
+    n_surf = c.shape[0]
+    w = mu.shape[1]
+    n_asph = asph.shape[1]
+    n_pad = _pad_len(n, rows)
+    pad = lambda a: jnp.pad(a, (0, n_pad - n)) if n_pad != n else a
+    as2d = lambda a: pad(a).reshape(-1, LANES)
+    xp2, yp2, cy2 = as2d(xp), as2d(yp), as2d(cy)
+    dx2, dy2 = as2d(dx), as2d(dy)
+    dcx2, dcy2 = as2d(dcx), as2d(dcy)
+    pen_in = [as2d(dpth), as2d(dptp), as2d(dpz)] if penalties else []
+    n_rows = xp2.shape[0]
+    grid = (n_rows // rows,)
+
+    ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scalar_tile = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda i: (0,) + (0,) * len(shape),
+        memory_space=pltpu.SMEM)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),           # dz0
+        jax.ShapeDtypeStruct((1, n_surf), jnp.float32),      # dc
+        jax.ShapeDtypeStruct((1, n_surf), jnp.float32),      # dkappa
+        jax.ShapeDtypeStruct((1, n_surf), jnp.float32),      # dt
+        jax.ShapeDtypeStruct((1, n_surf, w), jnp.float32),   # dmu
+        jax.ShapeDtypeStruct((1, n_surf, n_asph), jnp.float32),  # dasph
+    )
+    scratch = [pltpu.VMEM((n_surf, rows, LANES), jnp.float32)
+               for _ in range(6)]
+    scratch.append(pltpu.VMEM((n_surf, rows, LANES), jnp.bool_))
+
+    outs = pl.pallas_call(
+        partial(_bwd_kernel_a, n_surf, w, rows, n_asph, penalties),
+        grid=grid,
+        in_specs=[smem] * 6 + [ray_spec] * (7 + len(pen_in)),
+        out_specs=(
+            ray_spec, ray_spec, ray_spec,
+            scalar_tile((1,)),
+            scalar_tile((n_surf,)),
+            scalar_tile((n_surf,)),
+            scalar_tile((n_surf,)),
+            scalar_tile((n_surf, w)),
+            scalar_tile((n_surf, n_asph)),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(jnp.reshape(z0, (1, 1)).astype(jnp.float32),
+      c.astype(jnp.float32), kappa.astype(jnp.float32),
+      t.astype(jnp.float32), mu.astype(jnp.float32),
+      asph.astype(jnp.float32),
+      xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
+
+    (dxp2, dyp2, dcy2o, dz0, dc, dkap, dt, dmu, dasph) = outs
+    unpad = lambda a: a.reshape(-1)[:n]
+    return (unpad(dxp2), unpad(dyp2), unpad(dcy2o),
+            dz0.reshape(jnp.shape(z0)), dc[0], dkap[0], dt[0], dmu[0],
+            dasph[0])
+
+
+trace_fused_asphere.defvjp(_fused_fwd_a, _fused_bwd_a)
+
+
+def trace_rays_fused_asphere(specs, lens, config,
+                             key: Optional[jax.Array] = None,
+                             xy=None, rows: int = DEFAULT_ROWS,
+                             penalties: bool = False):
+    """``trace_rays`` on the fused asphere kernel (B == 1, conic/asphere).
+
+    Mirrors ``pallas_trace.trace_rays_fused``; the lens must carry ``kappa``
+    and ``asph``.
+    """
+    from torchoptics_tpu.models import glass as glass_mod
+    from torchoptics_tpu.ops import abcd as abcd_mod
+    from torchoptics_tpu.ops import pupil as pupil_mod
+    from torchoptics_tpu.ops import trace as trace_mod
+
+    assert len(lens) == 1, "fused kernel is single-system"
+    assert lens.kappa is not None and lens.asph is not None, (
+        "asphere kernel expects kappa/asph; use pallas_trace for spheres")
+    assert bool(np.all(lens.structure.mask))
+
+    n = lens.get_refractive_indices(config.wavelengths)
+    n_full = jnp.concatenate((jnp.ones_like(n[:, :1, :]), n), axis=1)
+    mu = n_full[0, :-1, :] / n_full[0, 1:, :]
+    z0 = abcd_mod.compute_pupil_position(lens)[0]
+
+    if xy is None:
+        xp_rel, yp_rel = pupil_mod.sample_pupil(
+            config.mode, config.n_rays, 1, key=key)
+    else:
+        xp_rel, yp_rel = xy
+    if config.n_ray_aiming_iter > 0:
+        from torchoptics_tpu.ops import aiming
+        aiming_fn = aiming.ray_aiming(specs, lens.detach(), config, True)
+        xp_rel, yp_rel = [jax.lax.stop_gradient(jnp.clip(v, -2.0, 2.0))
+                          for v in aiming_fn(xp_rel, yp_rel)]
+    xp = pupil_mod.scale_to_epd(xp_rel, specs.epd)
+    yp = pupil_mod.scale_to_epd(yp_rel, specs.epd)
+
+    F = len(config.rel_fields)
+    W = len(config.wavelengths)
+    u = specs.hfov[:, None] * jnp.asarray(config.rel_fields,
+                                          jnp.float32)[None, :]
+    cy = jnp.sin(u)[0]
+    xpb = jnp.broadcast_to(xp, (1, F, xp.shape[2], W))[0]
+    ypb = jnp.broadcast_to(yp, (1, F, yp.shape[2], W))[0]
+    P = xpb.shape[1]
+    cyb = jnp.broadcast_to(cy[:, None, None], (F, P, W))
+
+    outs = trace_fused_asphere(
+        xpb.reshape(-1), ypb.reshape(-1), cyb.reshape(-1), z0,
+        lens.c[0], lens.kappa[0], lens.t[0], mu, lens.asph[0],
+        rows, penalties)
+    x, y, cx, cy_out, ok, bw = outs[:6]
+    shape = (1, F, P, W)
+    result = trace_mod.TraceResult(
+        x.reshape(shape), y.reshape(shape), cx.reshape(shape),
+        cy_out.reshape(shape), ok.reshape(shape), bw.reshape(shape), None)
+    if penalties:
+        return result, tuple(p.reshape(shape) for p in outs[6:])
+    return result

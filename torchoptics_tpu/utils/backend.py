@@ -16,9 +16,11 @@ import time
 import jax
 
 
-def ensure_backend(retries: int = 10, delay_s: float = 30.0) -> None:
+def ensure_backend(retries: int = 12, delay_s: float = 30.0) -> None:
     """Block until ``jax.devices()`` works; re-exec on transient axon
-    registration failures. No-op on healthy backends (cpu/tpu)."""
+    registration failures with exponential backoff (the relay lockout after
+    a lost grant lasts on the order of 10 minutes). No-op on healthy
+    backends (cpu/tpu)."""
     attempt = int(os.environ.get("_TOT_BACKEND_ATTEMPT", "0"))
     try:
         jax.devices()
@@ -26,6 +28,6 @@ def ensure_backend(retries: int = 10, delay_s: float = 30.0) -> None:
     except RuntimeError as e:
         if "axon" not in str(e) or attempt >= retries:
             raise
-        time.sleep(delay_s)
+        time.sleep(min(delay_s * (1.6 ** attempt), 300.0))
         os.environ["_TOT_BACKEND_ATTEMPT"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
