@@ -88,3 +88,27 @@ def test_optimizer_respects_trainable_mask():
     np.testing.assert_array_equal(np.asarray(state.params["g"]), g0)
     assert not np.allclose(np.asarray(state.params["c"]),
                            np.asarray(optimizer.init(lens).params["c"]))
+
+
+def test_step_rejects_nonfinite():
+    """A diverging iterate (NaN loss/grads) must not modify parameters."""
+    import jax.numpy as jnp
+    specs, lens = zoo.build("singlet")
+    optimizer = opt.LensOptimizer(specs=specs, config=CFG,
+                                  qc_variables=False, add_bfl=False,
+                                  efl_target=float(lens.efl[0]))
+    state = optimizer.init(lens)
+    # Poison one thickness with NaN: loss and grads become non-finite and
+    # the step must leave every parameter untouched.
+    bad_params = dict(state.params)
+    bad_params["t"] = state.params["t"].at[0].set(jnp.nan)
+    bad_state = opt.OptState(bad_params, state.opt_state, state.step)
+    # The loss VALUE may be masked to 0 (the reference's NaN->0 in Q), but
+    # the gradients are non-finite — the guard must trip on those.
+    grads = jax.grad(lambda p: optimizer.loss(p)[0])(bad_params)
+    assert not all(bool(jnp.isfinite(g).all()) for g in grads.values())
+    new_state, total, _ = optimizer.step(bad_state)
+    np.testing.assert_array_equal(np.asarray(new_state.params["c"]),
+                                  np.asarray(bad_params["c"]))
+    np.testing.assert_array_equal(np.asarray(new_state.params["g"]),
+                                  np.asarray(bad_params["g"]))

@@ -149,3 +149,25 @@ def test_fused_rejects_unsupported():
     asph = lens.replace(kappa=jnp.zeros_like(lens.c))
     with pytest.raises(AssertionError):
         pt.trace_rays_fused(specs, asph, CFG)
+
+
+def test_engine_pallas_dispatch():
+    """TraceConfig(engine='pallas') routes trace_rays to the fused kernels."""
+    specs, lens = zoo.build("cooke")
+    cfg_p = trace.TraceConfig(mode="circular", n_rays=(4, 4),
+                              rel_fields=(0.0, 1.0), wavelengths=("d",),
+                              engine="pallas")
+    cfg_u = trace.TraceConfig(mode="circular", n_rays=(4, 4),
+                              rel_fields=(0.0, 1.0), wavelengths=("d",))
+    with pltpu.force_tpu_interpret_mode():
+        r_p = trace.trace_rays(specs, lens, cfg_p)
+    r_u = trace.trace_rays(specs, lens, cfg_u)
+    np.testing.assert_allclose(np.asarray(r_p.y), np.asarray(r_u.y),
+                               rtol=1e-5, atol=1e-6)
+    # aspheric lens routes to the asphere kernel
+    lens_a = lens.replace(kappa=jnp.zeros_like(lens.c),
+                          asph=jnp.zeros(lens.c.shape + (1,)))
+    with pltpu.force_tpu_interpret_mode():
+        r_pa = trace.trace_rays(specs, lens_a, cfg_p)
+    np.testing.assert_allclose(np.asarray(r_pa.y), np.asarray(r_u.y),
+                               rtol=1e-4, atol=1e-5)

@@ -304,7 +304,21 @@ def trace_rays(specs: Specs, lens: Lens, config: TraceConfig,
     vignetting → ray aiming → EPD scaling → direction cosines → ``trace_skew``.
 
     Reference ``RayTracer.trace_rays`` (`ray_tracing_lite.py:80-127`).
+
+    ``config.engine='pallas'`` dispatches to the fused TPU kernels
+    (single-system, no vignetting/aggregate; spherical or conic/asphere);
+    other engines run the jnp path below.
     """
+    if (config.engine == "pallas" and len(lens) == 1 and xy is None
+            and not up_to_stop and not aggregate
+            and config.vig_fn is None):
+        if lens.is_spherical:
+            from torchoptics_tpu.ops import pallas_trace
+            return pallas_trace.trace_rays_fused(specs, lens, config, key=key)
+        if lens.kappa is not None and lens.asph is not None:
+            from torchoptics_tpu.ops import pallas_asphere
+            return pallas_asphere.trace_rays_fused_asphere(
+                specs, lens, config, key=key)
     dtype = config.dtype
     if config.double_precision:
         specs = specs.astype(dtype)

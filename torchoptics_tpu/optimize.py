@@ -175,9 +175,21 @@ class LensOptimizer:
         # Freeze non-trainable variable groups.
         grads = {k: (g if k in self.trainable else jnp.zeros_like(g))
                  for k, g in grads.items()}
+        # Reject non-finite steps: a diverging iterate (e.g. glass variables
+        # pushing the last-curvature solve through a pole) must not poison
+        # the parameters — keep the previous state instead.
+        finite = jnp.isfinite(total)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(g))
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, 0.0), grads)
         updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                    state.params)
         params = optax.apply_updates(state.params, updates)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(finite, a, b), new, old)
+        params = keep(params, state.params)
+        opt_state = keep(opt_state, state.opt_state)
         return OptState(params, opt_state, state.step + 1), total, loss_dict
 
     def step(self, state: OptState, key: Optional[jax.Array] = None):
