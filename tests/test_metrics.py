@@ -81,3 +81,14 @@ def test_ray_aiming_error_zero_when_stop_first():
     specs, lens = zoo.build("singlet")
     out = metrics.compute_ray_aiming_error(specs, lens, [0.0, 1.0])
     assert out == 0.0
+
+
+def test_semi_apertures():
+    specs, lens = zoo.build("cooke")
+    sa = np.asarray(metrics.compute_semi_apertures(specs, lens))
+    assert sa.shape == (1, 7)
+    assert (sa > 0).all()
+    # the front surface must at least pass the entrance beam: ~EPD/2 plus
+    # the field-angle footprint
+    assert sa[0, 0] >= float(specs.epd[0]) / 2 * 0.8
+    assert (sa < 20).all()  # sane bound for a 17mm EFL triplet

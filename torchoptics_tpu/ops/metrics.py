@@ -123,6 +123,26 @@ def compute_relative_illumination(specs: Specs, lens: Lens, relative_fields,
     return jnp.where(validity, rel_illum, 1.0)
 
 
+def compute_semi_apertures(specs: Specs, lens: Lens, n_rays: int = 33,
+                           rel_fields=(0.0, 0.707, 1.0),
+                           n_ray_aiming_iter: int = 1) -> jnp.ndarray:
+    """Per-surface effective semi-apertures: max |hit height| over a
+    meridional fan across the field (the working implementation of the
+    reference's dormant ``find_effective_aperture`` stub,
+    `optics_simulator_lite.py:507-521`). Returns (B, S)."""
+    from torchoptics_tpu.ops import trace as trace_mod
+    cfg = trace_mod.TraceConfig(mode="meridional_uniform", n_rays=(n_rays,),
+                                rel_fields=tuple(rel_fields),
+                                wavelengths=("d",),
+                                n_ray_aiming_iter=n_ray_aiming_iter)
+    res = trace_mod.trace_rays(specs, lens, cfg, aggregate=("x", "y"))
+    # The stacks hold surface-hit heights; rays that failed at surface k are
+    # reset to the axis from k onward, so no extra masking is needed (their
+    # pre-failure heights still count, as the aperture search intends).
+    r = jnp.sqrt(res.stacks["x"] ** 2 + res.stacks["y"] ** 2)  # (S, B, F, P, W)
+    return jnp.moveaxis(jnp.max(r, axis=(2, 3, 4)), 0, 1)     # (B, S)
+
+
 def compute_ray_aiming_error(specs: Specs, lens: Lens, rel_fields,
                              vig_fn=None, n_ray_aiming_iter: int = 1,
                              ray_aiming_mode: str = "real",

@@ -40,7 +40,7 @@ from torchoptics_tpu.ops import surfaces as surf
 # Aggregate stack names.
 AGG_TORCH = ("z_RELU", "theta_norm", "theta_prime_norm")   # torch engine set
 AGG_TF = ("z", "sin", "sin_prime")                          # TF engine set
-AGG_ALL = AGG_TORCH + AGG_TF + ("cos2", "cos2_prime")
+AGG_ALL = AGG_TORCH + AGG_TF + ("cos2", "cos2_prime", "x", "y")
 
 
 class TraceResult(NamedTuple):
@@ -247,8 +247,14 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
             if aggregate:
                 x_, y_, z_, cx_, cy_, cz_, ok_, bw_ = state
                 for name in aggregate:
-                    stacks[name].append(_agg_entry(
-                        name, ok_, z_, cos2_theta, cos2_prime, full_shape))
+                    if name == "x":  # per-surface hit heights
+                        stacks[name].append(jnp.broadcast_to(x_, full_shape))
+                    elif name == "y":
+                        stacks[name].append(jnp.broadcast_to(y_, full_shape))
+                    else:
+                        stacks[name].append(_agg_entry(
+                            name, ok_, z_, cos2_theta, cos2_prime,
+                            full_shape))
 
     x, y, z, cx, cy, cz, ray_ok, ray_backward = state
 

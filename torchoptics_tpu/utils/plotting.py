@@ -74,9 +74,13 @@ def plot_lens_layout(specs, lens, n_rays: int = 7, ax=None, show=True):
     n_surf = int(lens.structure.n_surfaces[0])
     vertex = np.concatenate(([0.0], np.cumsum(t)))[:n_surf]
 
-    semi_ap = float(specs.epd[0])  # draw to the EPD half-height, padded
-    h = np.linspace(-semi_ap, semi_ap, 61)
+    # Draw each surface to its effective semi-aperture (the reference's
+    # dormant find_effective_aperture intent).
+    from torchoptics_tpu.ops import metrics as metrics_mod
+    semi_ap = np.asarray(metrics_mod.compute_semi_apertures(specs, lens))[0]
+    semi_ap = np.maximum(semi_ap * 1.05, 1e-3)
     for k in range(n_surf):
+        h = np.linspace(-semi_ap[k], semi_ap[k], 61)
         ck = c[k]
         kap = 0.0 if lens.kappa is None else float(np.asarray(lens.kappa)[0, k])
         r2 = h ** 2
