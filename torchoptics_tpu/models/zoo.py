@@ -77,16 +77,18 @@ TESSAR = {
 DOUBLE_GAUSS = {
     "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
     "f_number": [2.0],
-    "c": [0.004144622012972832, 0.008009941317141056, 0.01668670028448105,
-          -0.012615634128451347, 0.0011268508387729526, 0.0,
-          0.00026637446717359126, 0.02674313262104988, -0.011860108934342861,
-          0.014774277806282043, -0.0064410618506371975],
-    "t": [4.4349045753479, 0.926776111125946, 11.966642379760742,
-          1.5519028902053833, 6.398704528808594, 13.965265274047852,
-          8.42414379119873, 11.984062194824219, 8.155269622802734,
-          8.944452285766602, 25.085935592651367],
-    "nd": [1.6779, 1.6516, 1.6990, 1.6990, 1.6516, 1.6779],
-    "v": [55.34, 58.52, 30.05, 30.05, 58.52, 55.34],
+    "c": [0.007098540663719177, 0.005453308112919331, 0.01615321822464466,
+          -0.0013351266970857978, 0.002841322449967265, 0.0,
+          -0.003427648451179266, 0.035170674324035645, -0.012313609942793846,
+          0.018931368365883827, -0.008300425484776497],
+    "t": [6.373253345489502, 13.075956344604492, 9.577503204345703,
+          1.5088554620742798, 7.554969310760498, 13.997114181518555,
+          7.074100494384766, 11.994585990905762, 7.694481372833252,
+          7.907110214233398, 22.00676918029785],
+    "nd": [1.6778998374938965, 1.6515969038009644, 1.737999439239502,
+           1.737999439239502, 1.6515969038009644, 1.6778998374938965],
+    "v": [55.3400764465332, 58.5494499206543, 32.2607307434082,
+          32.2607307434082, 58.5494499206543, 55.3400764465332],
 }
 # fmt: on
 
