@@ -52,9 +52,11 @@ def main():
     specs, lens = zoo.build("double_gauss")
     n_surfaces = int(lens.structure.n_surfaces[0])
 
-    # Dense pupil grid: 16 fields x 96^2 rays x 3 wavelengths = 1.77M rays.
-    n_fields = 16
-    rings = 96
+    # Dense pupil grid: 32 fields x 160^2 rays x 3 wavelengths = 2.46M rays
+    # (throughput keeps rising with ray count as fixed overheads amortize).
+    n_fields = 32
+    rings = 160
+    rows = 64
     cfg = trace_mod.TraceConfig(
         mode="circular", n_rays=(rings, rings),
         rel_fields=tuple(float(f) for f in np.linspace(0, 1, n_fields)),
@@ -70,7 +72,8 @@ def main():
         return metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)[0]
 
     def loss_pallas(c, t):
-        res = pallas_mod.trace_rays_fused(specs, lens.replace(c=c, t=t), cfg)
+        res = pallas_mod.trace_rays_fused(specs, lens.replace(c=c, t=t), cfg,
+                                          rows=rows)
         return metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)[0]
 
     best_xla = _time_step(
@@ -94,7 +97,7 @@ def main():
 
     def lu_pallas(c, t):
         Lu, _ = pallas_mod.unsupervised_loss_fused(
-            specs, lens.replace(c=c, t=t), sim_cfg)
+            specs, lens.replace(c=c, t=t), sim_cfg, rows=rows)
         return Lu
 
     def lu_xla(c, t):
