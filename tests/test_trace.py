@@ -205,3 +205,58 @@ def test_grad_finite_differences():
     from jax.test_util import check_grads
     check_grads(loss, (lens.c, lens.t), order=1, modes=("rev",),
                 rtol=2e-2, atol=1e-3)
+
+
+def test_vignetting_through_tracer():
+    """A vignetting function shrinks the effective pupil: marginal rays move
+    inward, and the trace must consume specs.vig_* through vig_fn."""
+    specs, lens = zoo.build("cooke")
+    specs = Specs(specs.structure, specs.epd, specs.hfov,
+                  vig_up=jnp.asarray([0.3]), vig_down=jnp.asarray([0.1]),
+                  vig_x=jnp.asarray([0.2]))
+
+    # reference-style vig_fn(fields, coeff): constant over field
+    vig_fn = lambda fields, coeff: coeff
+
+    kw = dict(mode="meridional_uniform", n_rays=(9,), rel_fields=(0.0,),
+              wavelengths=("d",))
+    res_plain = trace.trace_rays(specs, lens, trace.TraceConfig(**kw))
+    res_vig = trace.trace_rays(specs, lens,
+                               trace.TraceConfig(vig_fn=vig_fn, **kw))
+    # the vignetted pupil is smaller and shifted: spot coordinates change,
+    # and the (previously on-axis) central ray is now decentered
+    y_plain = np.asarray(res_plain.y)[0, 0, :, 0]
+    y_vig = np.asarray(res_vig.y)[0, 0, :, 0]
+    assert np.abs(y_vig - y_plain).max() > 1e-4
+    assert abs(y_plain[4]) < 1e-7 and abs(y_vig[4]) > 1e-4
+    # use_vig=False must bypass it
+    res_off = trace.trace_rays(specs, lens,
+                               trace.TraceConfig(vig_fn=vig_fn, **kw),
+                               use_vig=False)
+    np.testing.assert_allclose(np.asarray(res_off.y), np.asarray(res_plain.y),
+                               rtol=1e-6)
+
+
+def test_ray_aiming_paraxial_mode():
+    """'paraxial' stop-radius mode (magnification * EPD/2) must run and give
+    aiming corrections comparable to 'real' mode."""
+    specs, lens = zoo.build("cooke")
+    kw = dict(mode="circular", n_rays=(5, 5), rel_fields=(0.0, 1.0),
+              wavelengths=("d",), n_ray_aiming_iter=1)
+    res_real = trace.trace_rays(specs, lens, trace.TraceConfig(
+        ray_aiming_mode="real", **kw))
+    res_par = trace.trace_rays(specs, lens, trace.TraceConfig(
+        ray_aiming_mode="paraxial", **kw))
+    assert np.isfinite(np.asarray(res_par.y)).all()
+    # both modes aim at the same stop; results agree loosely
+    d = np.abs(np.asarray(res_par.y) - np.asarray(res_real.y)).max()
+    assert d < 0.5
+
+
+def test_ray_aiming_bad_mode_raises():
+    specs, lens = zoo.build("cooke")
+    cfg = trace.TraceConfig(mode="circular", n_rays=(3, 3),
+                            rel_fields=(0.0,), wavelengths=("d",),
+                            n_ray_aiming_iter=1, ray_aiming_mode="bogus")
+    with pytest.raises(ValueError):
+        trace.trace_rays(specs, lens, cfg)
