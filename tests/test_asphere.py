@@ -161,3 +161,23 @@ def test_asphere_cooke_trace_and_grad():
         assert np.isfinite(arr).all(), name
     # the perturbed surfaces must receive asphere gradient signal
     assert np.abs(np.asarray(g[1])).max() > 0
+
+
+def test_double_gauss_asph_zoo_quality():
+    """The aspherized flagship: full transmission at f/2 and a spot several
+    times tighter than the spherical parent."""
+    specs_s, lens_s = zoo.build("double_gauss")
+    specs_a, lens_a = zoo.build("double_gauss_asph")
+    assert lens_a.kappa is not None and lens_a.asph is not None
+    cfg = trace.TraceConfig(mode="circular", n_rays=(10, 10),
+                            rel_fields=(0.0, 0.707, 1.0),
+                            wavelengths=(459.0, 520.0, 640.0),
+                            n_ray_aiming_iter=1)
+    from torchoptics_tpu import metrics
+    res_s = trace.trace_rays(specs_s, lens_s, cfg)
+    res_a = trace.trace_rays(specs_a, lens_a, cfg)
+    assert float(res_a.ray_ok.mean()) == 1.0
+    rms_s = float(metrics.compute_rms2d(res_s.x, res_s.y, res_s.ray_ok)[0])
+    rms_a = float(metrics.compute_rms2d(res_a.x, res_a.y, res_a.ray_ok)[0])
+    assert rms_a < rms_s / 3
+    assert rms_a < 0.01
