@@ -662,6 +662,8 @@ def trace_rays_fused_asphere(specs, lens, config,
     assert lens.kappa is not None and lens.asph is not None, (
         "asphere kernel expects kappa/asph; use pallas_trace for spheres")
     assert bool(np.all(lens.structure.mask))
+    assert config.vig_fn is None, (
+        "fused kernel does not apply vignetting; use ops.trace")
 
     n = lens.get_refractive_indices(config.wavelengths)
     n_full = jnp.concatenate((jnp.ones_like(n[:, :1, :]), n), axis=1)

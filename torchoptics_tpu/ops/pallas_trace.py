@@ -579,6 +579,8 @@ def trace_rays_fused(specs, lens, config, key: Optional[jax.Array] = None,
     assert lens.is_spherical, "fused kernel is spherical; use ops.trace"
     assert bool(np.all(lens.structure.mask)), (
         "fused kernel expects no padded surfaces")
+    assert config.vig_fn is None, (
+        "fused kernel does not apply vignetting; use ops.trace")
 
     n = lens.get_refractive_indices(config.wavelengths)  # (1, S, W)
     n_full = jnp.concatenate((jnp.ones_like(n[:, :1, :]), n), axis=1)

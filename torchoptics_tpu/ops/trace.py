@@ -142,7 +142,8 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
 
     ``engine='unroll'`` statically unrolls the surface loop (single XLA
     fusion — the TPU fast path); ``'scan'`` uses ``lax.scan`` (compile-time
-    friendly for very long chains).
+    friendly for very long chains; spherical only, and requests with
+    ``aggregate`` stacks fall back to the unrolled path).
     """
     n_surf = c.shape[-1]
     spherical = kappa is None and asph is None
