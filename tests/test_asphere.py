@@ -181,3 +181,20 @@ def test_double_gauss_asph_zoo_quality():
     rms_a = float(metrics.compute_rms2d(res_a.x, res_a.y, res_a.ray_ok)[0])
     assert rms_a < rms_s / 3
     assert rms_a < 0.01
+
+
+def test_asph_only_lens_traces():
+    """Even-asphere with no conic (kappa=None) — the most common asphere
+    form — must trace on the jnp engine (regression: crashed on
+    (1.0 + None))."""
+    specs, lens0 = zoo.build("cooke")
+    asph = jnp.zeros(lens0.c.shape + (1,)).at[0, 0, 0].set(1e-5)
+    lens = lens0.replace(asph=asph)  # kappa stays None
+    assert not lens.is_spherical
+    cfg = trace.TraceConfig(mode="circular", n_rays=(4, 4),
+                            rel_fields=(0.0, 1.0), wavelengths=("d",))
+    res = trace.trace_rays(specs, lens, cfg)
+    assert np.asarray(res.ray_ok).mean() > 0.9
+    g = jax.grad(lambda a: jnp.sum(
+        trace.trace_rays(specs, lens.replace(asph=a), cfg).y ** 2))(asph)
+    assert np.isfinite(np.asarray(g)).all()

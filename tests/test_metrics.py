@@ -92,3 +92,30 @@ def test_semi_apertures():
     # the field-angle footprint
     assert sa[0, 0] >= float(specs.epd[0]) / 2 * 0.8
     assert (sa < 20).all()  # sane bound for a 17mm EFL triplet
+
+
+def test_relative_illumination_batched():
+    """Regression: the stop-radius denominator must broadcast per system."""
+    p = zoo.get_prescription("cooke")
+    from torchoptics_tpu.models.structure import Lens, Specs, Structure
+    st = Structure(tuple(p["stop_idx"] * 2), tuple(p["sequence"] * 2))
+    c = np.tile(np.asarray(p["c"], np.float32), (2, 1))
+    c[1] *= 1.02
+    t = np.tile(np.asarray(p["t"], np.float32), (2, 1))
+    gpos = [i for i, ch in enumerate(p["sequence"][0]) if ch == "G"]
+    nd = np.ones_like(c)
+    v = np.ones_like(c)
+    for gi, i in enumerate(gpos):
+        nd[:, i] = p["nd"][gi]
+        v[:, i] = p["v"][gi]
+    lens = Lens(st, jnp.asarray(c), jnp.asarray(t), jnp.asarray(nd),
+                jnp.asarray(v))
+    s1, _ = zoo.build("cooke")
+    specs = Specs(st, jnp.tile(s1.epd, 2), jnp.tile(s1.hfov, 2))
+    ri = np.asarray(metrics.compute_relative_illumination(
+        specs, lens, [0.0, 1.0], wavelengths=("d", "F")))
+    assert ri.shape == (2, 2, 2)
+    # normalization is anchored at wavelength 0 (reference formula), so only
+    # the first wavelength is exactly 1 on axis
+    np.testing.assert_allclose(ri[:, 0, 0], 1.0, rtol=1e-3)
+    assert (ri > 0.2).all() and (ri < 1.2).all()

@@ -119,3 +119,28 @@ def test_raytraced_optics_from_prescription_dict():
                              pupil_sampling="circular")
     x, y, ok = ro.do_ray_tracing()
     assert np.isfinite(float(ro.loss_dict["rms"]))
+
+
+def test_compute_loss_out_batched_mean_rms():
+    """Regression: batched lenses must use the mean spot RMS over systems,
+    not system 0 only."""
+    from torchoptics_tpu.models.structure import Lens, Specs, Structure
+    p = zoo.get_prescription("cooke")
+    st = Structure(tuple(p["stop_idx"] * 2), tuple(p["sequence"] * 2))
+    c = np.tile(np.asarray(p["c"], np.float32), (2, 1))
+    c[1] *= 1.10  # system 1 is notably worse
+    t = np.tile(np.asarray(p["t"], np.float32), (2, 1))
+    gpos = [i for i, ch in enumerate(p["sequence"][0]) if ch == "G"]
+    nd = np.ones_like(c)
+    v = np.ones_like(c)
+    for gi, i in enumerate(gpos):
+        nd[:, i] = p["nd"][gi]
+        v[:, i] = p["v"][gi]
+    lens = Lens(st, jnp.asarray(c), jnp.asarray(t), jnp.asarray(nd),
+                jnp.asarray(v))
+    s1, lens1 = zoo.build("cooke")
+    specs = Specs(st, jnp.tile(s1.epd, 2), jnp.tile(s1.hfov, 2))
+    _, ld_batch = sim.do_ray_tracing(specs, lens, CFG)
+    _, ld_single = sim.do_ray_tracing(s1, lens1, CFG)
+    # the perturbed system must pull the batch rms above the clean one
+    assert float(ld_batch["rms"]) > float(ld_single["rms"]) * 1.2

@@ -212,9 +212,11 @@ class Specs:
     def __post_init__(self):
         self.epd = jnp.asarray(self.epd)
         self.hfov = jnp.asarray(self.hfov)
-        if self.vig_up is None or self.vig_down is None:
+        if self.vig_up is None:
             self.vig_up = jnp.zeros_like(self.epd)
+        if self.vig_down is None:
             self.vig_down = jnp.zeros_like(self.epd)
+        if self.vig_x is None:
             self.vig_x = jnp.zeros_like(self.epd)
 
     def __len__(self):

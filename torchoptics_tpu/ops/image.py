@@ -131,11 +131,14 @@ def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     ``.float()``, batch-major base — are fixed here).
     """
     alpha = -0.75
-    coeffs = jnp.asarray([
+    # row k of the Keys matrix dotted with (1, t, t^2, t^3); written
+    # elementwise — XLA's generic dot is reduced-precision on this platform
+    # (see CLAUDE.md / ops.abcd._matmul2x2).
+    coeffs = np.asarray([
         [1, 0, -(alpha + 3), (alpha + 2)],
         [0, alpha, -2 * alpha, alpha],
         [0, -alpha, 2 * alpha + 3, -alpha - 2],
-        [0, 0, alpha, -alpha]], dtype=im.dtype)
+        [0, 0, alpha, -alpha]], dtype=np.float64)
 
     batch, height, width, channels = im.shape
     out_h, out_w = out_size
@@ -163,8 +166,9 @@ def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
     def weights(v, v0):
         tv = v - v0
-        t = jnp.stack([jnp.ones_like(tv), tv, tv * tv, tv * tv * tv])
-        return [jnp.matmul(coeffs[i], t)[:, None] for i in range(4)]
+        powers = (jnp.ones_like(tv), tv, tv * tv, tv * tv * tv)
+        return [sum(float(coeffs[i, j]) * powers[j] for j in range(4))[:, None]
+                for i in range(4)]
 
     wx = weights(x, x0)
     wy = weights(y, y0)

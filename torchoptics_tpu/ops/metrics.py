@@ -116,7 +116,7 @@ def compute_relative_illumination(specs: Specs, lens: Lens, relative_fields,
     cx, cy, ray_ok = res.cx, res.cy, res.ray_ok
 
     rel_illum = ((cy[..., 0, :] - cy[..., 1, :]) * cx[..., 2, :]
-                 / jnp.maximum(2.0 * cy[:, 0, 0, 0] ** 2, eps))
+                 / jnp.maximum(2.0 * cy[:, 0, 0, 0][:, None, None] ** 2, eps))
 
     validity = jnp.all(ray_ok, axis=(2, 3))[..., None]       # (B, F, 1)
     validity = validity & validity[:, 0, :][:, None, :]

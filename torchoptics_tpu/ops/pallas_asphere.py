@@ -75,7 +75,8 @@ def _g_partials(c, kappa, a_ref, k_surf, n_asph, r2, w, u):
     return h, g_c, g_kap, sag_c, sag_kap
 
 
-def _newton_dist(c, kappa, a_ref, k_surf, n_asph, x, y, z, cx, cy, cz):
+def _newton_dist(c, kappa, a_ref, k_surf, n_asph, x, y, z, cx, cy, cz,
+                 n_iter=NEWTON_ITERS):
     """Initial sphere/plane guess + NEWTON_ITERS steps + polish.
 
     Returns (dist, s_pre, f, fp, fp_safe, stationary, not_conv) where f/fp
@@ -103,7 +104,7 @@ def _newton_dist(c, kappa, a_ref, k_surf, n_asph, x, y, z, cx, cy, cz):
         fp = cz - 2.0 * g * (xs * cx + ys * cy)
         return f, fp, guard
 
-    for _ in range(NEWTON_ITERS):
+    for _ in range(n_iter):
         f, fp, _ = f_fp(s)
         fp_s = jnp.where(jnp.abs(fp) > EPS, fp,
                          jnp.where(fp >= 0, EPS, -EPS))
@@ -119,12 +120,12 @@ def _newton_dist(c, kappa, a_ref, k_surf, n_asph, x, y, z, cx, cy, cz):
 
 
 def _fwd_surface_a(c, kappa, t, mu, a_ref, k_surf, n_asph,
-                   x, y, z, cx, cy, cz, ok):
+                   x, y, z, cx, cy, cz, ok, n_iter=NEWTON_ITERS):
     """One conic/asphere surface step; mirrors the jnp asphere engine
     (ops.surfaces.find_marching_distance_asphere + apply_snell_general)."""
     (dist, s_pre, f, fp, fp_safe, stationary, not_conv,
      guard_pre) = _newton_dist(
-        c, kappa, a_ref, k_surf, n_asph, x, y, z, cx, cy, cz)
+        c, kappa, a_ref, k_surf, n_asph, x, y, z, cx, cy, cz, n_iter)
 
     xs = x + dist * cx
     ys = y + dist * cy
@@ -358,7 +359,7 @@ def _bwd_surface_a(c, kappa, t, mu, a_ref, k_surf, n_asph, pre, loc, d,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties,
+def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref,
                   xp_ref, yp_ref, cy_ref, *outs):
     if penalties:
@@ -384,7 +385,7 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties,
         mu = _mu_of(mu_ref, k, widx, w)
         (x, y, z, cx, cy, cz, ok2), loc = _fwd_surface_a(
             c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph,
-            x, y, z, cx, cy, cz, ok)
+            x, y, z, cx, cy, cz, ok, n_iter)
         if k > 0:
             bw = bw | ((loc["delta_z"] < 0) & loc["ok1"])
         ok = ok2
@@ -411,7 +412,7 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties,
         pz_out[...] = pen_z
 
 
-def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties,
+def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref,
                   xp_ref, yp_ref, cyin_ref, *rest):
     if penalties:
@@ -448,7 +449,7 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties,
         mu = _mu_of(mu_ref, k, widx, w)
         (x, y, z, cx, cy, cz, ok), _ = _fwd_surface_a(
             c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph,
-            x, y, z, cx, cy, cz, ok)
+            x, y, z, cx, cy, cz, ok, n_iter)
 
     dx_img = dx_ref[...]
     dy_img = dy_ref[...]
@@ -483,7 +484,8 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties,
                st_ok[k])
         mu = _mu_of(mu_ref, k, widx, w)
         out_k, loc = _fwd_surface_a(
-            c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph, *pre)
+            c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph, *pre,
+            n_iter=n_iter)
         dcos2_extra = dcos2p_extra = None
         if penalties:
             ok_end = out_k[6]
@@ -516,18 +518,21 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def trace_fused_asphere(xp, yp, cy, z0, c, kappa, t, mu, asph,
-                        rows=DEFAULT_ROWS, penalties=False):
+                        rows=DEFAULT_ROWS, penalties=False,
+                        n_iter=NEWTON_ITERS):
     """Fused conic/asphere trace of a flat ray block (single system).
 
     Args are as in ``pallas_trace.trace_fused`` plus ``kappa`` (S,) conic
     constants and ``asph`` (S, K) even-asphere coefficients.
     """
-    return _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties)
+    return _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows,
+                      penalties, n_iter)
 
 
-def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties):
+def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
+               n_iter):
     n = xp.shape[0]
     n_surf = c.shape[0]
     w = mu.shape[1]
@@ -550,7 +555,7 @@ def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties):
         + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * (n_out - 6))
 
     outs = pl.pallas_call(
-        partial(_fwd_kernel_a, n_surf, w, rows, n_asph, penalties),
+        partial(_fwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter),
         grid=grid,
         in_specs=[smem] * 6 + [ray_spec] * 3,
         out_specs=tuple([ray_spec] * n_out),
@@ -564,12 +569,14 @@ def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties):
     return tuple(unpad(o) for o in outs)
 
 
-def _fused_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties):
-    out = _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties)
+def _fused_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
+                 n_iter):
+    out = _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
+                     n_iter)
     return out, (xp, yp, cy, z0, c, kappa, t, mu, asph)
 
 
-def _fused_bwd_a(rows, penalties, residuals, cotangents):
+def _fused_bwd_a(rows, penalties, n_iter, residuals, cotangents):
     xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
     if penalties:
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
@@ -614,7 +621,7 @@ def _fused_bwd_a(rows, penalties, residuals, cotangents):
     scratch.append(pltpu.VMEM((n_surf, rows, LANES), jnp.bool_))
 
     outs = pl.pallas_call(
-        partial(_bwd_kernel_a, n_surf, w, rows, n_asph, penalties),
+        partial(_bwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter),
         grid=grid,
         in_specs=[smem] * 6 + [ray_spec] * (7 + len(pen_in)),
         out_specs=(
@@ -651,57 +658,19 @@ def trace_rays_fused_asphere(specs, lens, config,
     """``trace_rays`` on the fused asphere kernel (B == 1, conic/asphere).
 
     Mirrors ``pallas_trace.trace_rays_fused``; the lens must carry ``kappa``
-    and ``asph``.
+    and ``asph`` (use ``jnp.zeros`` for absent terms). ``config.newton_iters``
+    controls the in-kernel Newton count.
     """
-    from torchoptics_tpu.models import glass as glass_mod
-    from torchoptics_tpu.ops import abcd as abcd_mod
-    from torchoptics_tpu.ops import pupil as pupil_mod
-    from torchoptics_tpu.ops import trace as trace_mod
+    from torchoptics_tpu.ops.pallas_trace import (
+        _assert_fused_config, package_fused_result, prepare_fused_inputs)
 
-    assert len(lens) == 1, "fused kernel is single-system"
     assert lens.kappa is not None and lens.asph is not None, (
         "asphere kernel expects kappa/asph; use pallas_trace for spheres")
-    assert bool(np.all(lens.structure.mask))
-    assert config.vig_fn is None, (
-        "fused kernel does not apply vignetting; use ops.trace")
+    _assert_fused_config(lens, config)
 
-    n = lens.get_refractive_indices(config.wavelengths)
-    n_full = jnp.concatenate((jnp.ones_like(n[:, :1, :]), n), axis=1)
-    mu = n_full[0, :-1, :] / n_full[0, 1:, :]
-    z0 = abcd_mod.compute_pupil_position(lens)[0]
-
-    if xy is None:
-        xp_rel, yp_rel = pupil_mod.sample_pupil(
-            config.mode, config.n_rays, 1, key=key)
-    else:
-        xp_rel, yp_rel = xy
-    if config.n_ray_aiming_iter > 0:
-        from torchoptics_tpu.ops import aiming
-        aiming_fn = aiming.ray_aiming(specs, lens.detach(), config, True)
-        xp_rel, yp_rel = [jax.lax.stop_gradient(jnp.clip(v, -2.0, 2.0))
-                          for v in aiming_fn(xp_rel, yp_rel)]
-    xp = pupil_mod.scale_to_epd(xp_rel, specs.epd)
-    yp = pupil_mod.scale_to_epd(yp_rel, specs.epd)
-
-    F = len(config.rel_fields)
-    W = len(config.wavelengths)
-    u = specs.hfov[:, None] * jnp.asarray(config.rel_fields,
-                                          jnp.float32)[None, :]
-    cy = jnp.sin(u)[0]
-    xpb = jnp.broadcast_to(xp, (1, F, xp.shape[2], W))[0]
-    ypb = jnp.broadcast_to(yp, (1, F, yp.shape[2], W))[0]
-    P = xpb.shape[1]
-    cyb = jnp.broadcast_to(cy[:, None, None], (F, P, W))
-
+    xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
+        specs, lens, config, key=key, xy=xy)
     outs = trace_fused_asphere(
-        xpb.reshape(-1), ypb.reshape(-1), cyb.reshape(-1), z0,
-        lens.c[0], lens.kappa[0], lens.t[0], mu, lens.asph[0],
-        rows, penalties)
-    x, y, cx, cy_out, ok, bw = outs[:6]
-    shape = (1, F, P, W)
-    result = trace_mod.TraceResult(
-        x.reshape(shape), y.reshape(shape), cx.reshape(shape),
-        cy_out.reshape(shape), ok.reshape(shape), bw.reshape(shape), None)
-    if penalties:
-        return result, tuple(p.reshape(shape) for p in outs[6:])
-    return result
+        xp, yp, cyb, z0, lens.c[0], lens.kappa[0], lens.t[0], mu,
+        lens.asph[0], rows, penalties, config.newton_iters)
+    return package_fused_result(outs, shape, penalties)

@@ -559,32 +559,32 @@ trace_fused.defvjp(_fused_fwd, _fused_bwd)
 # ---------------------------------------------------------------------------
 
 
-def trace_rays_fused(specs, lens, config, key: Optional[jax.Array] = None,
-                     xy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                     rows: int = DEFAULT_ROWS, penalties: bool = False):
-    """``trace_rays`` on the fused Pallas kernel (B == 1, spherical).
-
-    Ray aiming (if configured) runs on the jnp engine — it is a tiny tee-ray
-    solve whose output is stop-gradient — and feeds the fused kernel.
-    Returns a ``TraceResult`` shaped (1, F, P, W) like the jnp engine; with
-    ``penalties`` it returns ``(TraceResult, (pen_theta, pen_theta_p,
-    pen_zrelu))`` where each penalty is the per-ray sum over surfaces.
-    """
-    from torchoptics_tpu.models import glass as glass_mod
-    from torchoptics_tpu.ops import abcd as abcd_mod
-    from torchoptics_tpu.ops import pupil as pupil_mod
-    from torchoptics_tpu.ops import trace as trace_mod
-
+def _assert_fused_config(lens, config):
     assert len(lens) == 1, "fused kernel is single-system; use ops.trace"
-    assert lens.is_spherical, "fused kernel is spherical; use ops.trace"
     assert bool(np.all(lens.structure.mask)), (
         "fused kernel expects no padded surfaces")
     assert config.vig_fn is None, (
         "fused kernel does not apply vignetting; use ops.trace")
+    assert config.allow_backward_rays, (
+        "fused kernel records backward rays but does not remove them; "
+        "allow_backward_rays=False needs ops.trace")
+    assert not config.double_precision, (
+        "fused kernel is float32; double_precision needs ops.trace")
+
+
+def prepare_fused_inputs(specs, lens, config, key=None, xy=None):
+    """Shared front-end for the fused wrappers (spherical and asphere):
+    dispersion, pupil placement, sampling, ray aiming (jnp engine,
+    stop-gradient), EPD scaling, and the flatten to the kernel's ray order
+    (wavelength innermost).
+
+    Returns (xp_flat, yp_flat, cy_flat, z0, mu, (1, F, P, W))."""
+    from torchoptics_tpu.ops import abcd as abcd_mod
+    from torchoptics_tpu.ops import pupil as pupil_mod
 
     n = lens.get_refractive_indices(config.wavelengths)  # (1, S, W)
     n_full = jnp.concatenate((jnp.ones_like(n[:, :1, :]), n), axis=1)
-    mu = (n_full[0, :-1, :] / n_full[0, 1:, :])  # (S, W)
+    mu = n_full[0, :-1, :] / n_full[0, 1:, :]  # (S, W)
 
     z0 = abcd_mod.compute_pupil_position(lens)[0]
 
@@ -614,20 +614,40 @@ def trace_rays_fused(specs, lens, config, key: Optional[jax.Array] = None,
     ypb = jnp.broadcast_to(yp, (1, F, yp.shape[2], W))[0]
     P = xpb.shape[1]
     cyb = jnp.broadcast_to(cy[:, None, None], (F, P, W))
+    return (xpb.reshape(-1), ypb.reshape(-1), cyb.reshape(-1), z0, mu,
+            (1, F, P, W))
 
-    outs = trace_fused(
-        xpb.reshape(-1), ypb.reshape(-1), cyb.reshape(-1), z0,
-        lens.c[0], lens.t[0], mu, rows, penalties)
+
+def package_fused_result(outs, shape, penalties):
+    """Reshape flat kernel outputs back to the (1, F, P, W) TraceResult."""
+    from torchoptics_tpu.ops import trace as trace_mod
     x, y, cx, cy_out, ok, bw = outs[:6]
-
-    shape = (1, F, P, W)
     result = trace_mod.TraceResult(
         x.reshape(shape), y.reshape(shape), cx.reshape(shape),
         cy_out.reshape(shape), ok.reshape(shape), bw.reshape(shape), None)
     if penalties:
-        pens = tuple(p.reshape(shape) for p in outs[6:])
-        return result, pens
+        return result, tuple(p.reshape(shape) for p in outs[6:])
     return result
+
+
+def trace_rays_fused(specs, lens, config, key: Optional[jax.Array] = None,
+                     xy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                     rows: int = DEFAULT_ROWS, penalties: bool = False):
+    """``trace_rays`` on the fused Pallas kernel (B == 1, spherical).
+
+    Ray aiming (if configured) runs on the jnp engine — it is a tiny tee-ray
+    solve whose output is stop-gradient — and feeds the fused kernel.
+    Returns a ``TraceResult`` shaped (1, F, P, W) like the jnp engine; with
+    ``penalties`` it returns ``(TraceResult, (pen_theta, pen_theta_p,
+    pen_zrelu))`` where each penalty is the per-ray sum over surfaces.
+    """
+    assert lens.is_spherical, "fused kernel is spherical; use ops.trace"
+    _assert_fused_config(lens, config)
+    xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
+        specs, lens, config, key=key, xy=xy)
+    outs = trace_fused(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu, rows,
+                       penalties)
+    return package_fused_result(outs, shape, penalties)
 
 
 def unsupervised_loss_fused(specs, lens, config,

@@ -46,7 +46,9 @@ def compute_psf(x: jnp.ndarray, y: jnp.ndarray,
     if increment is not None:
         x_incr = y_incr = jnp.full((n_grids,), increment, dtype=x.dtype)
         x_size = jnp.full((n_grids,), increment * n_x_bins, dtype=x.dtype)
-        y_size = jnp.full((n_grids,), increment * n_x_bins, dtype=x.dtype)
+        # The reference sizes y by n_x_bins here (`ray_tracing.py:226`) —
+        # wrong for non-square grids; intended behavior implemented.
+        y_size = jnp.full((n_grids,), increment * n_y_bins, dtype=x.dtype)
     else:
         y_min = jnp.min(y.reshape(n_grids, -1), axis=1)
         y_max = jnp.max(y.reshape(n_grids, -1), axis=1)

@@ -111,9 +111,12 @@ def reset_bad_rays(ray_ok, x, y, z, cx, cy, cz, normalize: bool = False):
 def sag_and_slope(c, kappa, asph, r2):
     """Evaluate sag s(r²) and g = ds/d(r²) for the conic + even asphere.
 
-    ``asph`` is ``None`` or an array of shape (..., K) holding coefficients of
+    ``kappa`` may be ``None`` (pure even asphere, zero conic). ``asph`` is
+    ``None`` or an array of shape (..., K) holding coefficients of
     (r²)^(k+2), i.e. r⁴, r⁶, … terms, broadcastable against ``r2[..., None]``.
     """
+    if kappa is None:
+        kappa = 0.0
     u = (1.0 + kappa) * c ** 2 * r2
     # Domain guard: beyond the conic's valid aperture the sag is undefined;
     # callers must treat guard==True as a miss.

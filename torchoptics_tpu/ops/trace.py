@@ -318,14 +318,21 @@ def trace_rays(specs: Specs, lens: Lens, config: TraceConfig,
     """
     if (config.engine == "pallas" and len(lens) == 1 and xy is None
             and not up_to_stop and not aggregate
-            and config.vig_fn is None):
+            and config.vig_fn is None
+            and config.allow_backward_rays
+            and not config.double_precision):
         if lens.is_spherical:
             from torchoptics_tpu.ops import pallas_trace
             return pallas_trace.trace_rays_fused(specs, lens, config, key=key)
-        if lens.kappa is not None and lens.asph is not None:
-            from torchoptics_tpu.ops import pallas_asphere
-            return pallas_asphere.trace_rays_fused_asphere(
-                specs, lens, config, key=key)
+        # conic/asphere path; absent terms default to zeros
+        from torchoptics_tpu.ops import pallas_asphere
+        lens_a = lens
+        if lens_a.kappa is None:
+            lens_a = lens_a.replace(kappa=jnp.zeros_like(lens_a.c))
+        if lens_a.asph is None:
+            lens_a = lens_a.replace(asph=jnp.zeros(lens_a.c.shape + (1,)))
+        return pallas_asphere.trace_rays_fused_asphere(
+            specs, lens_a, config, key=key)
     dtype = config.dtype
     if config.double_precision:
         specs = specs.astype(dtype)

@@ -130,6 +130,10 @@ def compute_ray_path_penalty(lens: Lens, z_stack: jnp.ndarray,
     max_t_map = jnp.where(st.mask_G_jnp, max_t_glass, max_t_air)
     min_t_map = min_t_map.at[rows, st.n_surfaces - 1].set(min_t_image)
     max_t_map = max_t_map.at[rows, st.n_surfaces - 1].set(max_t_image)
+    # Padded gaps of heterogeneous batches have delta_z == 0 and must not be
+    # penalized against the air-gap bounds.
+    min_t_map = jnp.where(st.mask_jnp, min_t_map, -jnp.inf)
+    max_t_map = jnp.where(st.mask_jnp, max_t_map, jnp.inf)
     min_t_map = jnp.moveaxis(min_t_map, 1, 0)[:, :, None, None, None]
     max_t_map = jnp.moveaxis(max_t_map, 1, 0)[:, :, None, None, None]
 
@@ -168,9 +172,11 @@ def compute_loss_out(res: trace_mod.TraceResult, n_sequence: int,
                      penalty_rate: float) -> Dict[str, jnp.ndarray]:
     """Unsupervised loss Lu = rms + rate * ΣQ with
     Q = (Σθ + Σθ' + Σrelu(z)) / n_surfaces, NaN→0
-    (`optics_simulator_lite.py:430-450`). Requires the trace to have been run
-    with ``aggregate`` ⊇ AGG_TORCH."""
-    rms = metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)[0]
+    (`optics_simulator_lite.py:430-450`; the reference is single-system —
+    for batched lenses the spot term is the mean RMS over systems, matching
+    the batched kernel path). Requires the trace to have been run with
+    ``aggregate`` ⊇ AGG_TORCH."""
+    rms = jnp.mean(metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok))
     stacks = res.stacks
     Q = (jnp.sum(stacks["theta_norm"], axis=0)
          + jnp.sum(stacks["theta_prime_norm"], axis=0)
