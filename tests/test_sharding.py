@@ -78,3 +78,15 @@ def test_graft_entry_compiles():
         assert np.isfinite(float(out))
     finally:
         sys.path.pop(0)
+
+
+def test_graft_dryrun_four_devices():
+    """The driver may probe other device counts; lens_parallel logic must
+    hold for n=4 (2x2 mesh)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(4)
+    finally:
+        sys.path.pop(0)
