@@ -15,6 +15,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax
 import jax.numpy as jnp
@@ -30,16 +31,9 @@ def _ensure_backend():
 
 
 def _time_step(step, args, n_iter=10, reps=3):
-    out = step(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = step(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / n_iter)
-    return best
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torchoptics_tpu.utils.timing import time_step
+    return time_step(step, args, n_iter=n_iter, reps=reps)
 
 
 def main():

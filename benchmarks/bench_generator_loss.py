@@ -18,6 +18,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
@@ -51,10 +52,10 @@ def make_population(n, name="cooke", seed=0):
 
 
 def main():
-    ensure_backend()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     args = ap.parse_args()
+    ensure_backend()
 
     from torchoptics_tpu import metrics, trace
     from torchoptics_tpu import simulator as sim
@@ -92,16 +93,9 @@ def main():
     print(f"batch={args.batch} systems x {8 * 64 * 3} rays x {n_surf} "
           f"surfaces, device={jax.devices()[0]}")
     for name, f in fns:
+        from torchoptics_tpu.utils.timing import time_step
         step = jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
-        out = step(lens.c, lens.t)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(10):
-                out = step(lens.c, lens.t)
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / 10)
+        best = time_step(step, (lens.c, lens.t))
         print(f"{name:14s} {best * 1e3:8.3f} ms/step  "
               f"{args.batch / best:8.0f} designs/s  "
               f"{n_rays * n_surf / best / 1e6:8.0f} Mint/s")

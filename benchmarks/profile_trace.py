@@ -9,9 +9,12 @@ Writes a jax.profiler trace (viewable in TensorBoard / Perfetto) when
 
 import argparse
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import numpy as np
@@ -32,18 +35,12 @@ def run(rings: int, fields: int, profile: bool, aiming: int):
     n_rays = fields * rings * rings * 3
     n_surf = int(lens.structure.n_surfaces[0])
 
+    from torchoptics_tpu.utils.timing import time_step
+
     def bench(name, loss_fn, grad=True):
         f = jax.value_and_grad(loss_fn, argnums=(0, 1)) if grad else loss_fn
         step = jax.jit(f)
-        out = step(lens.c, lens.t)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(10):
-                out = step(lens.c, lens.t)
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / 10)
+        best = time_step(step, (lens.c, lens.t))
         print(f"{name:24s} {best * 1e3:8.3f} ms  "
               f"{n_rays / best / 1e6:8.1f} Mrays/s  "
               f"{n_rays * n_surf / best / 1e6:8.0f} Mint/s")

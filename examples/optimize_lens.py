@@ -13,6 +13,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
@@ -37,6 +38,8 @@ def main():
     ap.add_argument("--log-every", type=int, default=50)
     args = ap.parse_args()
 
+    from torchoptics_tpu.utils.backend import ensure_backend
+    ensure_backend()
     from torchoptics_tpu import optimize as opt
     from torchoptics_tpu import simulator as sim
     from torchoptics_tpu import zoo
@@ -46,6 +49,9 @@ def main():
         specs, lens = tio.load_lens(args.lens_yaml)
     else:
         specs, lens = zoo.build(args.lens)
+    # target the NOMINAL focal length, not the perturbed one, so
+    # perturb-and-recover runs converge back to the design scale
+    efl_target = float(lens.efl[0])
     if args.perturb:
         lens = lens.replace(c=lens.c * (1.0 + args.perturb))
 
@@ -57,7 +63,7 @@ def main():
         specs=specs, config=config, learning_rate=args.lr,
         trainable=trainable, use_full_loss=args.full_loss,
         qc_variables=not args.freeze_glass,
-        efl_target=float(lens.efl[0]))
+        efl_target=efl_target)
 
     state = optimizer.init(lens)
     t0 = time.time()

@@ -15,6 +15,7 @@ import os
 import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -63,6 +64,8 @@ def main():
                     help="also save a spot diagram next to the output")
     args = ap.parse_args()
 
+    from torchoptics_tpu.utils.backend import ensure_backend
+    ensure_backend()
     from torchoptics_tpu import imaging, metrics, trace, zoo
     from torchoptics_tpu import simulator as sim
     from torchoptics_tpu.models import io as tio
@@ -77,6 +80,8 @@ def main():
         radiance = mpimg.imread(args.image).astype(np.float32)
         if radiance.max() <= 1.0:
             radiance = radiance * 255.0
+        if radiance.ndim == 2:  # grayscale -> replicate to RGB
+            radiance = np.repeat(radiance[..., None], 3, axis=-1)
         radiance = radiance[..., :3][None]
     else:
         radiance = synthetic_test_image()[None]
@@ -105,7 +110,7 @@ def main():
     if args.show_spots:
         from torchoptics_tpu.utils.plotting import show_trace_result
         cfg = config.trace_config()
-        res = trace.trace_rays(specs, lens, cfg)
+        res = jax.jit(lambda l: trace.trace_rays(specs, l, cfg))(lens)
         rms = metrics.compute_rms2d(res.x, res.y, res.ray_ok)
         fig = show_trace_result(res.x, res.y, res.ray_ok, float(rms[0]),
                                 config.wavelengths, show=False)

@@ -19,6 +19,7 @@ import os
 import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
@@ -55,8 +56,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
+    from torchoptics_tpu.utils.backend import ensure_backend
+    ensure_backend()
     from torchoptics_tpu.loss import OpticalLoss
-    from torchoptics_tpu.models import glass
 
     ol = OpticalLoss(args.lens_type, n_sampled_fields=4, n_pupil_rings=6)
     G, S = ol.numglass, ol.numsurf
@@ -109,7 +111,7 @@ def main():
 
     print(f"training {args.lens_type} generator: batch={args.batch}, "
           f"device={jax.devices()[0]}")
-    first = None
+    first = loss = float("nan")
     for i in range(args.steps):
         key, k = jax.random.split(key)
         net, opt_state, loss = train_step(net, opt_state, k)
