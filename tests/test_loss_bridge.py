@@ -94,3 +94,35 @@ def test_supervised_mse():
     # all deviations 1 -> per-block sums = numout -> mse = numout/(2G+2S-1)=1
     np.testing.assert_allclose(float(ol.supervised(x, y)), 1.0, rtol=1e-6)
     np.testing.assert_allclose(float(ol.supervised(y, y)), 0.0, atol=1e-8)
+
+
+def test_unsupervised_pallas_engine_matches_xla():
+    """engine='pallas' (fused population kernel) must reproduce the vmapped
+    XLA loss."""
+    from jax.experimental.pallas import tpu as pltpu
+    ol = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)
+    inputs, outputs = _make_ga_sample()
+    inputs_b = jnp.stack([inputs, inputs.at[0].set(0.25)])
+    outputs_b = jnp.stack([outputs, outputs.at[2].set(0.32)])
+    ref = ol.unsupervised(inputs_b, outputs_b)
+    with pltpu.force_tpu_interpret_mode():
+        pal = ol.unsupervised(inputs_b, outputs_b, engine="pallas")
+    for a, b, name in zip(ref, pal, ("loss", "rms", "penalty")):
+        np.testing.assert_allclose(float(b), float(a), rtol=2e-4,
+                                   err_msg=name)
+
+
+def test_unsupervised_pallas_engine_grads():
+    from jax.experimental.pallas import tpu as pltpu
+    ol = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)
+    inputs, outputs = _make_ga_sample()
+    inputs_b = jnp.stack([inputs, inputs.at[0].set(0.25)])
+    outputs_b = jnp.stack([outputs, outputs.at[2].set(0.32)])
+
+    g_ref = jax.grad(lambda o: ol.unsupervised(inputs_b, o)[0])(outputs_b)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(lambda o: ol.unsupervised(
+            inputs_b, o, engine="pallas")[0])(outputs_b)
+    a, b = np.asarray(g_ref), np.asarray(g_pal)
+    scale = np.abs(a).max() + 1e-12
+    np.testing.assert_allclose(b / scale, a / scale, atol=1e-2)

@@ -161,18 +161,62 @@ class OpticalLoss:
                                              self.penalty_rate)
         return loss_dict["loss_unsup"], loss_dict["rms"], loss_dict["penalty"]
 
+    def build_batch(self, inputs: jnp.ndarray, outputs: jnp.ndarray,
+                    stop_idx: int, has_stop_vars: bool = False):
+        """Decode a whole batch of generator design vectors into one batched
+        (Specs, Lens) pair (shared Structure, EFL == 1 enforced per system).
+        """
+        sequence = self.lens_type
+        G, S = self.numglass, self.numsurf
+
+        def decode(inp, out):
+            epd = inp[0]
+            hfov = inp[1]
+            t = out[G * 2 + S - 1: self.numout]
+            g = out[: 2 * G].reshape(G, 2)
+            n, v = glass_mod.n_v_from_g(g)
+            c_wo_last = out[G * 2: G * 2 + S - 1]
+            if has_stop_vars and sequence[stop_idx - 1] == "A":
+                t = t_converter(stop_idx, sequence, t, inp[-1])
+                c_wo_last = t_converter(stop_idx, sequence, c_wo_last,
+                                        inp[-2])
+            return epd, hfov, c_wo_last, t, n, v
+
+        epd, hfov, c_wo_last, t, n, v = jax.vmap(decode)(inputs, outputs)
+        full_sequence = sequence
+        if has_stop_vars and sequence[stop_idx - 1] == "A":
+            full_sequence = (sequence[: stop_idx - 1] + "A"
+                             + sequence[stop_idx - 1:])
+        B = inputs.shape[0]
+        structure = Structure((int(stop_idx),) * B, (full_sequence,) * B)
+        c = abcd_mod.compute_last_curvature(
+            structure, c_wo_last.reshape(-1), t.reshape(-1), n.reshape(-1))
+        lens = Lens(structure, c, t.reshape(-1), n.reshape(-1), v.reshape(-1))
+        specs = Specs(structure, epd, hfov)
+        return specs, lens
+
     def unsupervised(self, inputs: jnp.ndarray, outputs: jnp.ndarray,
                      stop_idx: Optional[int] = None,
-                     has_stop_vars: bool = False
+                     has_stop_vars: bool = False,
+                     engine: str = "xla",
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Mean unsupervised loss over a batch
         (reference `optical_loss.py:99-122`) — vmapped, not a Python loop.
 
         ``stop_idx`` defaults to the value in the first sample's input slot
         (all samples of one lens type share it; it is static under jit).
+        ``engine='pallas'`` evaluates the whole population in one fused TPU
+        kernel launch (ops.pallas_batch).
         """
         if stop_idx is None:
             stop_idx = int(np.asarray(inputs[0, -3]))
+        if engine == "pallas":
+            from torchoptics_tpu.ops import pallas_batch
+            specs, lens = self.build_batch(inputs, outputs, stop_idx,
+                                           has_stop_vars)
+            mean_lu, ld = pallas_batch.batched_unsupervised_loss(
+                specs, lens, self._sim_config())
+            return (mean_lu, jnp.mean(ld["rms"]), jnp.mean(ld["penalty"]))
         single = partial(self.unsupervised_single, stop_idx=stop_idx,
                          has_stop_vars=has_stop_vars)
         loss, rms, penalty = jax.vmap(single)(inputs, outputs)
