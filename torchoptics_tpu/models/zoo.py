@@ -96,18 +96,18 @@ DOUBLE_GAUSS = {
 # Aspherized variant of the double Gauss: conic constants + two even-asphere
 # coefficients (r^4, r^6) on every surface, jointly optimized with c/t by
 # this framework (stage 1: kappa/asph only, stage 2: joint). Polychromatic
-# RMS spot 0.0035 mm at f/2 over the full 19 deg half field with 100% ray
-# transmission — 6.6x better than the spherical parent. Flagship scene for
+# RMS spot 0.0016 mm at f/2 (essentially diffraction-limited) over the full 19 deg half field with 100% ray
+# transmission — 14x better than the spherical parent. Flagship scene for
 # the conic/asphere superset (BASELINE north star; see ops/pallas_asphere).
 DOUBLE_GAUSS_ASPH = {
     "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
     "f_number": [2.0],
-    "c": [0.0035826058592647314, 0.009367899037897587, 0.014143591746687889, 0.0022948281839489937, 0.0006933839176781476, 0.0, -0.005277773831039667, 0.03284847363829613, -0.015501280315220356, 0.015926918014883995, -0.004528638441115618],
-    "t": [1.530446171760559, 15.587099075317383, 10.367450714111328, 1.7273943424224854, 14.138989448547363, 14.030355453491211, 1.5268899202346802, 7.832614898681641, 0.3070015609264374, 9.52701187133789, 37.71778106689453],
+    "c": [0.005744007416069508, 0.012626704759895802, 0.008825656026601791, 0.0060381512157619, -0.0008471026667393744, 0.0, -0.009344830177724361, 0.03422092646360397, -0.01667642779648304, 0.01892252080142498, -0.004845264367759228],
+    "t": [1.8271242380142212, 15.885034561157227, 15.947441101074219, 15.999481201171875, 15.853718757629395, 7.954293251037598, 1.5007882118225098, 7.528452396392822, 0.3002510964870453, 7.538528919219971, 46.389408111572266],
     "nd": DOUBLE_GAUSS["nd"],
     "v": DOUBLE_GAUSS["v"],
-    "kappa": [0.004777070600539446, 0.08749423176050186, -0.09090401977300644, 0.07064864784479141, 0.08296874910593033, 0.0, -0.0281720831990242, -0.21981368958950043, 0.037330854684114456, 0.11101576685905457, -0.15005606412887573],
-    "asph": [[9.740535489299873e-09, 2.3367402457452613e-10], [3.6949853665646515e-07, -4.550708768147338e-11], [-3.877248957451229e-07, -9.208410700622949e-10], [1.0129938345926348e-06, -1.8459572759255138e-10], [8.851174015944707e-07, 5.105758038581598e-10], [3.966175881942036e-06, 1.6096800559139979e-09], [9.350374341465795e-08, -2.668657239635053e-10], [-2.406128487564274e-06, -2.5687596494350373e-10], [-8.476037578475371e-07, 5.760315557878926e-10], [3.580140628400841e-07, 5.115713963554924e-10], [1.396348352500354e-06, -7.714286431870221e-10]],
+    "kappa": [-0.012389598414301872, 0.11227740347385406, -0.09669111669063568, 0.24021126329898834, 0.1170448511838913, 0.0, -0.11562485992908478, -0.561708390712738, 0.025301020592451096, 0.032018959522247314, -0.1763148158788681],
+    "asph": [[-1.1252957676788355e-07, -1.3887146987912047e-10], [5.135593141858408e-07, -1.5476935011360382e-10], [-4.7572115136063076e-07, -4.692634614222868e-10], [2.150914269805071e-06, 6.43086139895388e-10], [8.114111551549286e-07, 2.86700413409946e-10], [5.088942089059856e-06, 2.020010159142771e-09], [6.962954444134084e-07, 4.452641588770234e-10], [-5.153679012437351e-06, -1.3212664295991772e-09], [-7.020096290943911e-07, 3.171261864221009e-10], [-1.5139171694045217e-07, 6.297870558391594e-11], [1.6030745655370993e-06, -3.0899049985322335e-10]],
 }
 
 ZOO: Dict[str, dict] = {
