@@ -412,6 +412,18 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
         pz_out[...] = pen_z
 
 
+
+# Locals stashed by the backward kernel's forward pass so the reverse loop
+# applies the adjoint without re-running the Newton solve. Order matters.
+_LOC_F32_A = ("dist", "s_pre", "f", "fp_safe", "xs", "ys", "r2", "g", "w",
+              "u", "inv_norm", "dots", "cosr", "cos2", "cos", "xB", "yB",
+              "cxB", "cyB", "r2B", "gB", "wB", "uB", "inv_normB", "cos2p",
+              "cosp", "gsn", "nx", "ny", "cxC", "cyC", "czC")
+_LOC_BOOL_A = ("stationary", "fail1", "ok1", "fail2a", "fail2", "ok2")
+_N_LOC_F32_A = len(_LOC_F32_A)
+_N_LOC_BOOL_A = len(_LOC_BOOL_A)
+
+
 def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref,
                   xp_ref, yp_ref, cyin_ref, *rest):
@@ -419,12 +431,14 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
         (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
          dmu_out, da_out,
-         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok) = rest
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
     else:
         (dx_ref, dy_ref, dcx_ref, dcy_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
          dmu_out, da_out,
-         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok) = rest
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
         dpth_ref = dptp_ref = dpz_ref = None
     i = pl.program_id(0)
     widx = _widx(i, rows, w)
@@ -447,9 +461,13 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
         st_cz[k] = cz
         st_ok[k] = ok
         mu = _mu_of(mu_ref, k, widx, w)
-        (x, y, z, cx, cy, cz, ok), _ = _fwd_surface_a(
+        (x, y, z, cx, cy, cz, ok), loc = _fwd_surface_a(
             c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph,
             x, y, z, cx, cy, cz, ok, n_iter)
+        for li, name in enumerate(_LOC_F32_A):
+            st_locf[li, k] = loc[name]
+        for li, name in enumerate(_LOC_BOOL_A):
+            st_locb[li, k] = loc[name]
 
     dx_img = dx_ref[...]
     dy_img = dy_ref[...]
@@ -483,13 +501,13 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
         pre = (st_x[k], st_y[k], st_z[k], st_cx[k], st_cy[k], st_cz[k],
                st_ok[k])
         mu = _mu_of(mu_ref, k, widx, w)
-        out_k, loc = _fwd_surface_a(
-            c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph, *pre,
-            n_iter=n_iter)
+        loc = {name: st_locf[li, k] for li, name in enumerate(_LOC_F32_A)}
+        loc.update({name: st_locb[li, k]
+                    for li, name in enumerate(_LOC_BOOL_A)})
         dcos2_extra = dcos2p_extra = None
         if penalties:
-            ok_end = out_k[6]
-            z_next = out_k[2]
+            ok_end = loc["ok2"]
+            z_next = st_z[k + 1] if k + 1 < n_surf else z
             dz = dz + dpz * (z_next > 0)
             dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
             dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
@@ -619,6 +637,10 @@ def _fused_bwd_a(rows, penalties, n_iter, residuals, cotangents):
     scratch = [pltpu.VMEM((n_surf, rows, LANES), jnp.float32)
                for _ in range(6)]
     scratch.append(pltpu.VMEM((n_surf, rows, LANES), jnp.bool_))
+    scratch.append(pltpu.VMEM((_N_LOC_F32_A, n_surf, rows, LANES),
+                              jnp.float32))
+    scratch.append(pltpu.VMEM((_N_LOC_BOOL_A, n_surf, rows, LANES),
+                              jnp.bool_))
 
     outs = pl.pallas_call(
         partial(_bwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter),

@@ -305,16 +305,28 @@ def _fwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
         pz_out[...] = pen_z
 
 
+
+# Locals stashed by the backward kernel's forward pass (so the reverse loop
+# applies the adjoint without recomputation). Order is load-bearing.
+_LOC_F32 = ("cos", "cosp", "g", "denom", "dist", "temp", "m2", "e",
+            "xB", "yB", "cxB", "cyB", "cxC", "cyC", "czC", "cos2", "cos2p")
+_LOC_BOOL = ("ok1", "fail1", "fail2a", "fail2")
+_N_LOC_F32 = len(_LOC_F32)
+_N_LOC_BOOL = len(_LOC_BOOL)
+
+
 def _bwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
                 xp_ref, yp_ref, cyin_ref, *rest):
     if penalties:
         (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
-         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok) = rest
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
     else:
         (dx_ref, dy_ref, dcx_ref, dcy_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
-         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok) = rest
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
         dpth_ref = dptp_ref = dpz_ref = None
     i = pl.program_id(0)
     widx = _widx(i, rows, w)
@@ -338,8 +350,12 @@ def _bwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
         st_cz[k] = cz
         st_ok[k] = ok
         mu = _mu_of(mu_ref, k, widx, w)
-        (x, y, z, cx, cy, cz, ok), _ = _fwd_surface(
+        (x, y, z, cx, cy, cz, ok), loc = _fwd_surface(
             c_ref[k], t_ref[k], mu, x, y, z, cx, cy, cz, ok)
+        for li, name in enumerate(_LOC_F32):
+            st_locf[li, k] = loc[name]
+        for li, name in enumerate(_LOC_BOOL):
+            st_locb[li, k] = loc[name]
 
     # ---- image-transfer adjoint ----
     dx_img = dx_ref[...]
@@ -369,16 +385,20 @@ def _bwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
         dptp = dptp_ref[...]
         dpz = dpz_ref[...]
 
-    # ---- reverse surface loop (recompute locals from stashed pre-state) ----
+    # ---- reverse surface loop over the stashed locals (no recompute) ----
     for k in range(n_surf - 1, -1, -1):
         pre = (st_x[k], st_y[k], st_z[k], st_cx[k], st_cy[k], st_cz[k],
                st_ok[k])
         mu = _mu_of(mu_ref, k, widx, w)
-        out_k, loc = _fwd_surface(c_ref[k], t_ref[k], mu, *pre)
+        loc = {name: st_locf[li, k] for li, name in enumerate(_LOC_F32)}
+        loc.update({name: st_locb[li, k]
+                    for li, name in enumerate(_LOC_BOOL)})
         dcos2_extra = dcos2p_extra = None
         if penalties:
-            ok_end = out_k[6]
-            z_next = out_k[2]
+            ok_end = loc["ok1"] & ~loc["fail2"]
+            # z_next = zD - t with zD = where(ok2, zB, 0); zB is the state z
+            # BEFORE the next surface = st_z[k+1] (or the post-loop z).
+            z_next = st_z[k + 1] if k + 1 < n_surf else z
             # pen_z += relu(z_next): inject into the incoming z adjoint.
             dz = dz + dpz * (z_next > 0)
             dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
@@ -517,6 +537,8 @@ def _fused_bwd(rows, penalties, residuals, cotangents):
     scratch = [pltpu.VMEM((n_surf, rows, LANES), jnp.float32)
                for _ in range(6)]
     scratch.append(pltpu.VMEM((n_surf, rows, LANES), jnp.bool_))
+    scratch.append(pltpu.VMEM((_N_LOC_F32, n_surf, rows, LANES), jnp.float32))
+    scratch.append(pltpu.VMEM((_N_LOC_BOOL, n_surf, rows, LANES), jnp.bool_))
 
     outs = pl.pallas_call(
         partial(_bwd_kernel, n_surf, w, rows, penalties),
