@@ -25,7 +25,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from torchoptics_tpu.ops.pallas_trace import (
-    LANES, _bwd_surface, _fwd_surface, _theta_norm, _theta_norm_adjoint)
+    LANES, _LOC_BOOL, _LOC_F32, _N_LOC_BOOL, _N_LOC_F32, _bwd_surface,
+    _fwd_surface, _theta_norm, _theta_norm_adjoint)
 
 DEFAULT_ROWS = 8  # rows per tile per system: 8*128 = 1024 rays
 
@@ -102,11 +103,13 @@ def _bwd_kernel_b(n_surf, w, rows, penalties,
     if penalties:
         (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
-         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok) = rest
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
     else:
         (dx_ref, dy_ref, dcx_ref, dcy_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
-         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok) = rest
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
         dpth_ref = dptp_ref = dpz_ref = None
     i = pl.program_id(1)
     widx = _widx_batch(i, rows, w)
@@ -129,8 +132,12 @@ def _bwd_kernel_b(n_surf, w, rows, penalties,
         st_cz[k] = cz
         st_ok[k] = ok
         mu = _mu_of_batch(mu_ref, k, widx, w)
-        (x, y, z, cx, cy, cz, ok), _ = _fwd_surface(
+        (x, y, z, cx, cy, cz, ok), loc = _fwd_surface(
             c_ref[0, 0, k], t_ref[0, 0, k], mu, x, y, z, cx, cy, cz, ok)
+        for li, name in enumerate(_LOC_F32):
+            st_locf[li, k] = loc[name]
+        for li, name in enumerate(_LOC_BOOL):
+            st_locb[li, k] = loc[name]
 
     dx_img = dx_ref[...]
     dy_img = dy_ref[...]
@@ -161,11 +168,13 @@ def _bwd_kernel_b(n_surf, w, rows, penalties,
         pre = (st_x[k], st_y[k], st_z[k], st_cx[k], st_cy[k], st_cz[k],
                st_ok[k])
         mu = _mu_of_batch(mu_ref, k, widx, w)
-        out_k, loc = _fwd_surface(c_ref[0, 0, k], t_ref[0, 0, k], mu, *pre)
+        loc = {name: st_locf[li, k] for li, name in enumerate(_LOC_F32)}
+        loc.update({name: st_locb[li, k]
+                    for li, name in enumerate(_LOC_BOOL)})
         dcos2_extra = dcos2p_extra = None
         if penalties:
-            ok_end = out_k[6]
-            z_next = out_k[2]
+            ok_end = loc["ok1"] & ~loc["fail2"]
+            z_next = st_z[k + 1] if k + 1 < n_surf else z
             dz = dz + dpz * (z_next > 0)
             dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
             dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
@@ -299,6 +308,10 @@ def _fused_bwd_b(rows, penalties, residuals, cotangents):
     scratch = [pltpu.VMEM((n_surf, 1, rows, LANES), jnp.float32)
                for _ in range(6)]
     scratch.append(pltpu.VMEM((n_surf, 1, rows, LANES), jnp.bool_))
+    scratch.append(pltpu.VMEM((_N_LOC_F32, n_surf, 1, rows, LANES),
+                              jnp.float32))
+    scratch.append(pltpu.VMEM((_N_LOC_BOOL, n_surf, 1, rows, LANES),
+                              jnp.bool_))
     dmu_spec = pl.BlockSpec((1, 1, n_surf, w), lambda b, i: (b, 0, 0, 0),
                             memory_space=pltpu.SMEM)
 
