@@ -70,3 +70,25 @@ def test_simulate_differentiable_wrt_lens():
     arr = np.asarray(g)
     assert np.isfinite(arr).all()
     assert np.abs(arr).max() > 0
+
+
+def test_sample_optics_model_paraxial_centering():
+    """distortion_by_warping=False centers PSF grids on the paraxial chief
+    heights instead of spot centroids (reference branch
+    optics_simulator_lite.py:535-540)."""
+    specs, lens = zoo.build("cooke")
+    cfg = sim.SimulatorConfig(
+        n_sampled_fields=4, n_pupil_rings=5, pupil_sampling="circular",
+        n_ray_aiming_iter=1, psf_shape=(9, 9), psf_abs_pixel_size=8e-2,
+        psf_grid_shape=(2, 2), distortion_by_warping=False,
+        apply_distortion=True, apply_relative_illumination=False)
+    model = imaging.sample_optics_model(specs, lens, cfg)
+    from torchoptics_tpu.ops import abcd
+    import numpy as np
+    want = np.asarray(abcd.get_paraxial_heights_at_image_plane(
+        specs, lens, np.linspace(0, 1, 4)))[0]
+    np.testing.assert_allclose(np.asarray(model.y_center), want, rtol=1e-5)
+    # warping branch disabled -> no sampled shifts
+    assert model.sampled_distortion_shifts is None
+    sums = np.asarray(jnp.sum(model.sampled_psfs, axis=(1, 2)))
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
