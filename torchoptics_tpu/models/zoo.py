@@ -72,23 +72,15 @@ TESSAR = {
 # designed with this framework's own optimizer (torchoptics_tpu.optimize,
 # staged f/4 -> f/2.8 -> f/2 with ray-path thickness constraints) from a
 # symmetric starting layout; 100% ray transmission at f/2 over the full
-# field. This is the flagship benchmark scene for BASELINE.json config 3
+# field; polychromatic RMS spot 0.0134 mm. This is the flagship benchmark scene for BASELINE.json config 3
 # ("Double-Gauss 6-element: dense pupil-grid trace").
 DOUBLE_GAUSS = {
     "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
     "f_number": [2.0],
-    "c": [0.007098540663719177, 0.005453308112919331, 0.01615321822464466,
-          -0.0013351266970857978, 0.002841322449967265, 0.0,
-          -0.003427648451179266, 0.035170674324035645, -0.012313609942793846,
-          0.018931368365883827, -0.008300425484776497],
-    "t": [6.373253345489502, 13.075956344604492, 9.577503204345703,
-          1.5088554620742798, 7.554969310760498, 13.997114181518555,
-          7.074100494384766, 11.994585990905762, 7.694481372833252,
-          7.907110214233398, 22.00676918029785],
-    "nd": [1.6778998374938965, 1.6515969038009644, 1.737999439239502,
-           1.737999439239502, 1.6515969038009644, 1.6778998374938965],
-    "v": [55.3400764465332, 58.5494499206543, 32.2607307434082,
-          32.2607307434082, 58.5494499206543, 55.3400764465332],
+    "c": [0.008491829968988895, 0.0038041367661207914, 0.015981631353497505, -0.001652966602705419, 0.003033766755834222, 0.0, -0.00505311693996191, 0.03892448917031288, -0.011659904383122921, 0.02384570799767971, -0.005778007209300995],
+    "t": [2.5913422107696533, 13.478734016418457, 6.149362087249756, 1.5008875131607056, 4.839343070983887, 15.386726379394531, 9.128893852233887, 15.99984359741211, 6.581823348999023, 11.07535171508789, 18.00004005432129],
+    "nd": [1.6778998374938965, 1.6515969038009644, 1.737999439239502, 1.737999439239502, 1.6515969038009644, 1.6778998374938965],
+    "v": [55.3400764465332, 58.5494499206543, 32.2607307434082, 32.2607307434082, 58.5494499206543, 55.3400764465332],
 }
 # fmt: on
 
@@ -97,7 +89,7 @@ DOUBLE_GAUSS = {
 # coefficients (r^4, r^6) on every surface, jointly optimized with c/t by
 # this framework (stage 1: kappa/asph only, stage 2: joint). Polychromatic
 # RMS spot 0.0016 mm at f/2 (essentially diffraction-limited) over the full 19 deg half field with 100% ray
-# transmission — 14x better than the spherical parent. Flagship scene for
+# transmission — 8x better than the refined spherical parent. Flagship scene for
 # the conic/asphere superset (BASELINE north star; see ops/pallas_asphere).
 DOUBLE_GAUSS_ASPH = {
     "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
