@@ -86,9 +86,35 @@ def main():
                                                   lens.replace(c=c, t=t), cfg)
         return mean_lu
 
-    fns = [("xla", lu_xla)]
+    # Aspherized population (the generator superset): same batch with conic
+    # + 2 even-asphere terms per surface, on the batched asphere kernel.
+    rng = np.random.default_rng(1)
+    B, S = lens.c.shape
+    lens_a = lens.replace(
+        kappa=jnp.asarray(rng.uniform(-0.3, 0.1, (B, S)), jnp.float32),
+        asph=jnp.asarray(rng.uniform(-1, 1, (B, S, 2))
+                         * np.asarray([1e-5, 1e-8]), jnp.float32))
+
+    def lu_xla_asph(c, t):
+        l = lens_a.replace(c=c, t=t)
+        res = trace.trace_rays(specs, l, cfg.trace_config(),
+                               aggregate=trace.AGG_TORCH)
+        rms = metrics.compute_rms2d(res.x, res.y, res.ray_ok)
+        n_seq = len(lens.structure.sequence[0])
+        Q = (jnp.sum(res.stacks["theta_norm"], 0)
+             + jnp.sum(res.stacks["theta_prime_norm"], 0)
+             + jnp.sum(res.stacks["z_RELU"], 0)) / n_seq
+        return jnp.mean(rms + cfg.penalty_rate * jnp.sum(Q, axis=(1, 2, 3)))
+
+    def lu_pallas_asph(c, t):
+        mean_lu, _ = pb.batched_unsupervised_loss(
+            specs, lens_a.replace(c=c, t=t), cfg)
+        return mean_lu
+
+    fns = [("xla", lu_xla), ("xla-asphere", lu_xla_asph)]
     if jax.default_backend() == "tpu":
         fns.append(("pallas-batch", lu_pallas))
+        fns.append(("pallas-asphere", lu_pallas_asph))
 
     print(f"batch={args.batch} systems x {8 * 64 * 3} rays x {n_surf} "
           f"surfaces, device={jax.devices()[0]}")

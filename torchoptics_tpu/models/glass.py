@@ -105,22 +105,42 @@ def refractive_indices(nd: jnp.ndarray, v: jnp.ndarray, mask_G: np.ndarray,
     return n
 
 
-def compute_n(nd: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def compute_n(nd: jnp.ndarray, v: jnp.ndarray,
+              glass_mask=None) -> jnp.ndarray:
     """Refractive indices at the (C, d, F) lines via a linear partial
     dispersion model w.r.t. the Abbe number, anchored on K7 and F2 glasses
     (reference `ray_tracing.py:273-293`).
 
-    Args:
-      nd, v: (...,) glass parameters.
+    Two call forms, matching the reference:
 
-    Returns:
+    * ``glass_mask is None`` — ``nd, v`` are (...,) glass parameters; returns
       (..., 3) indices at (C, d, F).
+    * ``glass_mask`` given — the reference's full surface-table form
+      (`ray_tracing.py:286-293`): ``nd, v`` are flat (n_glass,) vectors of the
+      *actual* glasses, ``glass_mask`` a static (B, S) boolean glass mask.
+      The flat (C, d, F) triples are scattered wavelength-major into the
+      padded table, an air column (n = 1) is prepended, and air/invalid slots
+      read 1.0. Returns (B, 3, S + 1) — the layout ``trace_rays`` consumes as
+      its pre-``mu`` index table (`ray_tracing.py:85-88`).
     """
     alpha = -4.5757e-4
     beta = 7.2264e-1
     nf = nd + (nd - 1.0) * (alpha + beta / v)
     nc = nf - (nd - 1.0) / v
-    return jnp.stack((nc, nd, nf), axis=-1)
+    if glass_mask is None:
+        return jnp.stack((nc, nd, nf), axis=-1)
+
+    from torchoptics_tpu.models.structure import mask_scatter
+    glass_mask = np.asarray(glass_mask, dtype=bool)
+    # Air row prepended per system (`ray_tracing.py:286`): column 0 never
+    # holds a glass.
+    padded_mask = np.concatenate(
+        (np.zeros_like(glass_mask[:, :1]), glass_mask), axis=1)  # (B, S+1)
+    n = jnp.stack((nc, nd, nf), axis=0)  # (3, n_glass), wavelength-major
+    table = jnp.stack(
+        [mask_scatter(padded_mask, n[w], 1.0) for w in range(3)],
+        axis=0)  # (3, B, S+1)
+    return jnp.transpose(table, (1, 0, 2))
 
 
 def map_glass_to_closest(g: jnp.ndarray, catalog_g: jnp.ndarray) -> jnp.ndarray:

@@ -404,6 +404,15 @@ class Lens:
             self.nd, self.v, self.structure.mask_G, wavelengths
         )
 
+    def cdf_index_table(self) -> jnp.ndarray:
+        """(B, 3, S + 1) refractive-index table at the (C, d, F) lines with
+        the air column prepended — the reference's ``compute_n`` surface-table
+        form (`ray_tracing.py:273-293`), using the linear-partial-dispersion
+        model instead of the Cauchy fit of :meth:`get_refractive_indices`."""
+        from torchoptics_tpu.models import glass
+        return glass.compute_n(self.flat_nd, self.flat_v,
+                               self.structure.mask_G)
+
     @property
     def efl(self):
         from torchoptics_tpu.ops import abcd

@@ -36,7 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from torchoptics_tpu.ops.pallas_trace import (
-    LANES, _theta_norm, _theta_norm_adjoint, _widx, _mu_of, _pad_len)
+    LANES, _kill_backward, _theta_norm, _theta_norm_adjoint, _widx, _mu_of,
+    _pad_len)
 
 EPS = 1e-6
 DEFAULT_ROWS = 32
@@ -359,7 +360,7 @@ def _bwd_surface_a(c, kappa, t, mu, a_ref, k_surf, n_asph, pre, loc, d,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
+def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref,
                   xp_ref, yp_ref, cy_ref, *outs):
     if penalties:
@@ -387,7 +388,12 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
             c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph,
             x, y, z, cx, cy, cz, ok, n_iter)
         if k > 0:
-            bw = bw | ((loc["delta_z"] < 0) & loc["ok1"])
+            went_bw = (loc["delta_z"] < 0) & loc["ok1"]
+            if allow_backward:
+                bw = bw | went_bw
+            else:
+                x, y, z, cx, cy, cz, ok2 = _kill_backward(
+                    went_bw, t_ref[k], x, y, z, cx, cy, cz, ok2)
         ok = ok2
         if penalties:
             pen_th = pen_th + _theta_norm(loc["cos2"], ok)
@@ -398,7 +404,10 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
     dist = delta_z / cz
     x = x + dist * cx
     y = y + dist * cy
-    bw = bw | ((delta_z < 0) & ok)
+    if allow_backward:
+        bw = bw | ((delta_z < 0) & ok)
+    else:
+        ok = ok & ~((delta_z < 0) & ok)
 
     x_out[...] = x
     y_out[...] = y
@@ -424,7 +433,7 @@ _N_LOC_F32_A = len(_LOC_F32_A)
 _N_LOC_BOOL_A = len(_LOC_BOOL_A)
 
 
-def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
+def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref,
                   xp_ref, yp_ref, cyin_ref, *rest):
     if penalties:
@@ -464,6 +473,10 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
         (x, y, z, cx, cy, cz, ok), loc = _fwd_surface_a(
             c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph,
             x, y, z, cx, cy, cz, ok, n_iter)
+        if not allow_backward and k > 0:
+            x, y, z, cx, cy, cz, ok = _kill_backward(
+                (loc["delta_z"] < 0) & loc["ok1"], t_ref[k],
+                x, y, z, cx, cy, cz, ok)
         for li, name in enumerate(_LOC_F32_A):
             st_locf[li, k] = loc[name]
         for li, name in enumerate(_LOC_BOOL_A):
@@ -504,17 +517,34 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
         loc = {name: st_locf[li, k] for li, name in enumerate(_LOC_F32_A)}
         loc.update({name: st_locb[li, k]
                     for li, name in enumerate(_LOC_BOOL_A)})
+        kill = None
+        if not allow_backward and k > 0:
+            # delta_z = dist * cz_pre (delta_z itself is not stashed)
+            kill = (loc["dist"] * st_cz[k] < 0) & loc["ok1"]
         dcos2_extra = dcos2p_extra = None
         if penalties:
             ok_end = loc["ok2"]
+            if kill is not None:
+                ok_end = ok_end & ~kill
             z_next = st_z[k + 1] if k + 1 < n_surf else z
             dz = dz + dpz * (z_next > 0)
             dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
             dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
+        dt_kill = None
+        if kill is not None:
+            dt_kill = -jnp.sum(jnp.where(kill, dz, 0.0))
+            dx = jnp.where(kill, 0.0, dx)
+            dy = jnp.where(kill, 0.0, dy)
+            dz = jnp.where(kill, 0.0, dz)
+            dcx = jnp.where(kill, 0.0, dcx)
+            dcy = jnp.where(kill, 0.0, dcy)
+            dcz = jnp.where(kill, 0.0, dcz)
         ((dx, dy, dz, dcx, dcy, dcz), dc_k, dkap_k, dt_k, dmu_ray,
          da_k) = _bwd_surface_a(
             c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph, pre, loc,
             (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra)
+        if dt_kill is not None:
+            dt_k = dt_k + dt_kill
         dc_out[0, k] += dc_k
         dkap_out[0, k] += dkap_k
         dt_out[0, k] += dt_k
@@ -536,21 +566,21 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def trace_fused_asphere(xp, yp, cy, z0, c, kappa, t, mu, asph,
                         rows=DEFAULT_ROWS, penalties=False,
-                        n_iter=NEWTON_ITERS):
+                        n_iter=NEWTON_ITERS, allow_backward=True):
     """Fused conic/asphere trace of a flat ray block (single system).
 
     Args are as in ``pallas_trace.trace_fused`` plus ``kappa`` (S,) conic
     constants and ``asph`` (S, K) even-asphere coefficients.
     """
     return _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows,
-                      penalties, n_iter)
+                      penalties, n_iter, allow_backward)
 
 
 def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
-               n_iter):
+               n_iter, allow_backward):
     n = xp.shape[0]
     n_surf = c.shape[0]
     w = mu.shape[1]
@@ -573,7 +603,8 @@ def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
         + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * (n_out - 6))
 
     outs = pl.pallas_call(
-        partial(_fwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter),
+        partial(_fwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter,
+                allow_backward),
         grid=grid,
         in_specs=[smem] * 6 + [ray_spec] * 3,
         out_specs=tuple([ray_spec] * n_out),
@@ -588,13 +619,14 @@ def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
 
 
 def _fused_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
-                 n_iter):
+                 n_iter, allow_backward):
     out = _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
-                     n_iter)
+                     n_iter, allow_backward)
     return out, (xp, yp, cy, z0, c, kappa, t, mu, asph)
 
 
-def _fused_bwd_a(rows, penalties, n_iter, residuals, cotangents):
+def _fused_bwd_a(rows, penalties, n_iter, allow_backward, residuals,
+                 cotangents):
     xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
     if penalties:
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
@@ -643,7 +675,8 @@ def _fused_bwd_a(rows, penalties, n_iter, residuals, cotangents):
                               jnp.bool_))
 
     outs = pl.pallas_call(
-        partial(_bwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter),
+        partial(_bwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter,
+                allow_backward),
         grid=grid,
         in_specs=[smem] * 6 + [ray_spec] * (7 + len(pen_in)),
         out_specs=(
@@ -673,26 +706,423 @@ def _fused_bwd_a(rows, penalties, n_iter, residuals, cotangents):
 trace_fused_asphere.defvjp(_fused_fwd_a, _fused_bwd_a)
 
 
+# ---------------------------------------------------------------------------
+# Population-batched asphere kernels: grid = (systems, ray tiles), per-system
+# parameters in SMEM — the conic/asphere counterpart of ops.pallas_batch,
+# so an aspherized generator *population* traces fwd+bwd in one launch.
+# ---------------------------------------------------------------------------
+
+BATCH_ROWS = 8
+
+
+class _RefView:
+    """Adapter presenting a (1, 1, S, K) SMEM block as the (S, K) view the
+    shared surface functions index as ``a_ref[k_surf, k]``."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, idx):
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return self._ref[(0, 0) + idx]
+
+
+def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
+                   allow_backward,
+                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, mask_ref,
+                   xp_ref, yp_ref, cy_ref, *outs):
+    from torchoptics_tpu.ops.pallas_batch import _mu_of_batch, _widx_batch
+    if penalties:
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
+         pth_out, ptp_out, pz_out) = outs
+    else:
+        x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
+    i = pl.program_id(1)
+    widx = _widx_batch(i, rows, w)
+    a_view = _RefView(a_ref)
+    x = xp_ref[...]
+    y = yp_ref[...]
+    cy = cy_ref[...]
+    z = jnp.full(x.shape, z0_ref[0, 0, 0])
+    cx = jnp.zeros_like(x)
+    cz = jnp.sqrt(1.0 - cy * cy)
+    ok = jnp.ones(x.shape, jnp.bool_)
+    bw = jnp.zeros(x.shape, jnp.bool_)
+    pen_th = jnp.zeros_like(x)
+    pen_tp = jnp.zeros_like(x)
+    pen_z = jnp.zeros_like(x)
+
+    for k in range(n_surf):
+        mu = _mu_of_batch(mu_ref, k, widx, w)
+        (x, y, z, cx, cy, cz, ok2), loc = _fwd_surface_a(
+            c_ref[0, 0, k], kap_ref[0, 0, k], t_ref[0, 0, k], mu,
+            a_view, k, n_asph, x, y, z, cx, cy, cz, ok, n_iter)
+        if k > 0:
+            went_bw = ((loc["delta_z"] < 0) & loc["ok1"]
+                       & (mask_ref[0, 0, k - 1] > 0))
+            if allow_backward:
+                bw = bw | went_bw
+            else:
+                x, y, z, cx, cy, cz, ok2 = _kill_backward(
+                    went_bw, t_ref[0, 0, k], x, y, z, cx, cy, cz, ok2)
+        ok = ok2
+        if penalties:
+            pen_th = pen_th + _theta_norm(loc["cos2"], ok)
+            pen_tp = pen_tp + _theta_norm(loc["cos2p"], ok)
+            pen_z = pen_z + jnp.maximum(z, 0.0)
+
+    delta_z = -z
+    dist = delta_z / cz
+    x = x + dist * cx
+    y = y + dist * cy
+    last_real = mask_ref[0, 0, n_surf - 1] > 0
+    if allow_backward:
+        bw = bw | ((delta_z < 0) & ok & last_real)
+    else:
+        ok = ok & ~((delta_z < 0) & ok & last_real)
+
+    x_out[...] = x
+    y_out[...] = y
+    cx_out[...] = cx
+    cy_out[...] = cy
+    ok_out[...] = ok
+    bw_out[...] = bw
+    if penalties:
+        pth_out[...] = pen_th
+        ptp_out[...] = pen_tp
+        pz_out[...] = pen_z
+
+
+def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
+                   allow_backward,
+                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, mask_ref,
+                   xp_ref, yp_ref, cyin_ref, *rest):
+    from torchoptics_tpu.ops.pallas_batch import _mu_of_batch, _widx_batch
+    if penalties:
+        (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
+         dmu_out, da_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
+    else:
+        (dx_ref, dy_ref, dcx_ref, dcy_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
+         dmu_out, da_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
+        dpth_ref = dptp_ref = dpz_ref = None
+    i = pl.program_id(1)
+    widx = _widx_batch(i, rows, w)
+    a_view = _RefView(a_ref)
+
+    x = xp_ref[...]
+    y = yp_ref[...]
+    cy = cyin_ref[...]
+    z = jnp.full(x.shape, z0_ref[0, 0, 0])
+    cx = jnp.zeros_like(x)
+    cz0 = jnp.sqrt(1.0 - cy * cy)
+    cz = cz0
+    ok = jnp.ones(x.shape, jnp.bool_)
+
+    for k in range(n_surf):
+        st_x[k] = x
+        st_y[k] = y
+        st_z[k] = z
+        st_cx[k] = cx
+        st_cy[k] = cy
+        st_cz[k] = cz
+        st_ok[k] = ok
+        mu = _mu_of_batch(mu_ref, k, widx, w)
+        (x, y, z, cx, cy, cz, ok), loc = _fwd_surface_a(
+            c_ref[0, 0, k], kap_ref[0, 0, k], t_ref[0, 0, k], mu,
+            a_view, k, n_asph, x, y, z, cx, cy, cz, ok, n_iter)
+        if not allow_backward and k > 0:
+            x, y, z, cx, cy, cz, ok = _kill_backward(
+                (loc["delta_z"] < 0) & loc["ok1"]
+                & (mask_ref[0, 0, k - 1] > 0),
+                t_ref[0, 0, k], x, y, z, cx, cy, cz, ok)
+        for li, name in enumerate(_LOC_F32_A):
+            st_locf[li, k] = loc[name]
+        for li, name in enumerate(_LOC_BOOL_A):
+            st_locb[li, k] = loc[name]
+
+    dx_img = dx_ref[...]
+    dy_img = dy_ref[...]
+    dist_f = -z / cz
+    dcx = dcx_ref[...] + dx_img * dist_f
+    dcy = dcy_ref[...] + dy_img * dist_f
+    ddist = dx_img * cx + dy_img * cy
+    dz = -ddist / cz
+    dcz = ddist * (z / (cz * cz))
+    dx = dx_img
+    dy = dy_img
+
+    @pl.when(i == 0)
+    def _():
+        dz0_out[0, 0, 0] = 0.0
+        for k in range(n_surf):
+            dc_out[0, 0, k] = 0.0
+            dkap_out[0, 0, k] = 0.0
+            dt_out[0, 0, k] = 0.0
+            for wi in range(w):
+                dmu_out[0, 0, k, wi] = 0.0
+            for ai in range(n_asph):
+                da_out[0, 0, k, ai] = 0.0
+
+    if penalties:
+        dpth = dpth_ref[...]
+        dptp = dptp_ref[...]
+        dpz = dpz_ref[...]
+
+    for k in range(n_surf - 1, -1, -1):
+        pre = (st_x[k], st_y[k], st_z[k], st_cx[k], st_cy[k], st_cz[k],
+               st_ok[k])
+        mu = _mu_of_batch(mu_ref, k, widx, w)
+        loc = {name: st_locf[li, k] for li, name in enumerate(_LOC_F32_A)}
+        loc.update({name: st_locb[li, k]
+                    for li, name in enumerate(_LOC_BOOL_A)})
+        kill = None
+        if not allow_backward and k > 0:
+            kill = ((loc["dist"] * st_cz[k] < 0) & loc["ok1"]
+                    & (mask_ref[0, 0, k - 1] > 0))
+        dcos2_extra = dcos2p_extra = None
+        if penalties:
+            ok_end = loc["ok2"]
+            if kill is not None:
+                ok_end = ok_end & ~kill
+            z_next = st_z[k + 1] if k + 1 < n_surf else z
+            dz = dz + dpz * (z_next > 0)
+            dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
+            dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
+        dt_kill = None
+        if kill is not None:
+            dt_kill = -jnp.sum(jnp.where(kill, dz, 0.0))
+            dx = jnp.where(kill, 0.0, dx)
+            dy = jnp.where(kill, 0.0, dy)
+            dz = jnp.where(kill, 0.0, dz)
+            dcx = jnp.where(kill, 0.0, dcx)
+            dcy = jnp.where(kill, 0.0, dcy)
+            dcz = jnp.where(kill, 0.0, dcz)
+        ((dx, dy, dz, dcx, dcy, dcz), dc_k, dkap_k, dt_k, dmu_ray,
+         da_k) = _bwd_surface_a(
+            c_ref[0, 0, k], kap_ref[0, 0, k], t_ref[0, 0, k], mu,
+            a_view, k, n_asph, pre, loc,
+            (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra)
+        if dt_kill is not None:
+            dt_k = dt_k + dt_kill
+        dc_out[0, 0, k] += dc_k
+        dkap_out[0, 0, k] += dkap_k
+        dt_out[0, 0, k] += dt_k
+        for wi in range(w):
+            dmu_out[0, 0, k, wi] += jnp.sum(
+                jnp.where(widx == wi, dmu_ray, 0.0))
+        for ai in range(n_asph):
+            da_out[0, 0, k, ai] += da_k[ai]
+
+    dcy = dcy + dcz * (-cy / cz0)
+    dxp_out[...] = dx
+    dyp_out[...] = dy
+    dcyin_out[...] = dcy
+    dz0_out[0, 0, 0] += jnp.sum(dz)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def trace_fused_asphere_batch(xp, yp, cy, z0, c, kappa, t, mu, asph,
+                              rows=BATCH_ROWS, penalties=False,
+                              n_iter=NEWTON_ITERS, allow_backward=True,
+                              mask=None):
+    """Fused conic/asphere trace of a lens population (B systems).
+
+    Args as in ``pallas_batch.trace_fused_batch`` plus ``kappa`` (B, S) and
+    ``asph`` (B, S, K). ``mask`` is a static hashable tuple of 0/1 tuples for
+    heterogeneous padded populations (None = all valid)."""
+    return _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows,
+                       penalties, n_iter, allow_backward, mask)
+
+
+def _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
+                n_iter, allow_backward, mask):
+    from torchoptics_tpu.ops.pallas_batch import (
+        _mask_array, _prep, _specs_common)
+    B, n = xp.shape
+    n_surf = c.shape[1]
+    w = mu.shape[2]
+    n_asph = asph.shape[2]
+    xp2 = _prep(xp.astype(jnp.float32), rows)
+    yp2 = _prep(yp.astype(jnp.float32), rows)
+    cy2 = _prep(cy.astype(jnp.float32), rows)
+    n_rows = xp2.shape[1]
+    grid = (B, n_rows // rows)
+
+    ray_spec, z0_spec, ct_spec, mu_spec = _specs_common(
+        rows, n_surf, w, n_rows)
+    a_spec = pl.BlockSpec((1, 1, n_surf, n_asph), lambda b, i: (b, 0, 0, 0),
+                          memory_space=pltpu.SMEM)
+    n_out = 9 if penalties else 6
+    out_shapes = (
+        [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.bool_)] * 2
+        + [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32)]
+        * (n_out - 6))
+
+    outs = pl.pallas_call(
+        partial(_fwd_kernel_ab, n_surf, w, rows, n_asph, penalties, n_iter,
+                allow_backward),
+        grid=grid,
+        in_specs=[z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec,
+                  ct_spec, ray_spec, ray_spec, ray_spec],
+        out_specs=tuple([ray_spec] * n_out),
+        out_shape=tuple(out_shapes),
+    )(z0.reshape(-1, 1, 1).astype(jnp.float32),
+      c[:, None].astype(jnp.float32), kappa[:, None].astype(jnp.float32),
+      t[:, None].astype(jnp.float32), mu[:, None].astype(jnp.float32),
+      asph[:, None].astype(jnp.float32), _mask_array(mask, B, n_surf),
+      xp2, yp2, cy2)
+
+    unpad = lambda a: a.reshape(B, -1)[:, :n]
+    return tuple(unpad(o) for o in outs)
+
+
+def _fused_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
+                  n_iter, allow_backward, mask):
+    out = _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows,
+                      penalties, n_iter, allow_backward, mask)
+    return out, (xp, yp, cy, z0, c, kappa, t, mu, asph)
+
+
+def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask,
+                  residuals, cotangents):
+    from torchoptics_tpu.ops.pallas_batch import (
+        _mask_array, _prep, _specs_common)
+    xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
+    if penalties:
+        dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
+    else:
+        dx, dy, dcx, dcy, _dok, _dbw = cotangents
+        dpth = dptp = dpz = None
+
+    B, n = xp.shape
+    n_surf = c.shape[1]
+    w = mu.shape[2]
+    n_asph = asph.shape[2]
+    prep = lambda a: _prep(a.astype(jnp.float32), rows)
+    xp2, yp2, cy2 = prep(xp), prep(yp), prep(cy)
+    dx2, dy2, dcx2, dcy2 = prep(dx), prep(dy), prep(dcx), prep(dcy)
+    pen_in = [prep(dpth), prep(dptp), prep(dpz)] if penalties else []
+    n_rows = xp2.shape[1]
+    grid = (B, n_rows // rows)
+
+    ray_spec, z0_spec, ct_spec, mu_spec = _specs_common(
+        rows, n_surf, w, n_rows)
+    a_spec = pl.BlockSpec((1, 1, n_surf, n_asph), lambda b, i: (b, 0, 0, 0),
+                          memory_space=pltpu.SMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, n_surf), jnp.float32),      # dc
+        jax.ShapeDtypeStruct((B, 1, n_surf), jnp.float32),      # dkappa
+        jax.ShapeDtypeStruct((B, 1, n_surf), jnp.float32),      # dt
+        jax.ShapeDtypeStruct((B, 1, n_surf, w), jnp.float32),   # dmu
+        jax.ShapeDtypeStruct((B, 1, n_surf, n_asph), jnp.float32),  # dasph
+    )
+    scratch = [pltpu.VMEM((n_surf, 1, rows, LANES), jnp.float32)
+               for _ in range(6)]
+    scratch.append(pltpu.VMEM((n_surf, 1, rows, LANES), jnp.bool_))
+    scratch.append(pltpu.VMEM((_N_LOC_F32_A, n_surf, 1, rows, LANES),
+                              jnp.float32))
+    scratch.append(pltpu.VMEM((_N_LOC_BOOL_A, n_surf, 1, rows, LANES),
+                              jnp.bool_))
+
+    outs = pl.pallas_call(
+        partial(_bwd_kernel_ab, n_surf, w, rows, n_asph, penalties, n_iter,
+                allow_backward),
+        grid=grid,
+        in_specs=[z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec,
+                  ct_spec,
+                  ray_spec, ray_spec, ray_spec,
+                  ray_spec, ray_spec, ray_spec, ray_spec]
+        + [ray_spec] * len(pen_in),
+        out_specs=(ray_spec, ray_spec, ray_spec,
+                   z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(z0.reshape(-1, 1, 1).astype(jnp.float32),
+      c[:, None].astype(jnp.float32), kappa[:, None].astype(jnp.float32),
+      t[:, None].astype(jnp.float32), mu[:, None].astype(jnp.float32),
+      asph[:, None].astype(jnp.float32), _mask_array(mask, B, n_surf),
+      xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
+
+    (dxp2, dyp2, dcy2o, dz0, dc, dkap, dt, dmu, dasph) = outs
+    unpad = lambda a: a.reshape(B, -1)[:, :n]
+    return (unpad(dxp2), unpad(dyp2), unpad(dcy2o),
+            dz0.reshape(jnp.shape(z0)), dc[:, 0], dkap[:, 0], dt[:, 0],
+            dmu[:, 0], dasph[:, 0])
+
+
+trace_fused_asphere_batch.defvjp(_fused_fwd_ab, _fused_bwd_ab)
+
+
+def trace_rays_fused_asphere_batch(specs, lens, config,
+                                   key: Optional[jax.Array] = None,
+                                   xy=None, rows: int = BATCH_ROWS,
+                                   penalties: bool = False,
+                                   use_vig: bool = True):
+    """``trace_rays`` on the batched asphere kernel (B ≥ 1 conic/asphere
+    systems, heterogeneous padded structures supported).
+
+    The population analogue of ``trace_rays_fused_asphere``; see
+    ``pallas_batch.trace_rays_fused_batch`` for the result contract."""
+    from torchoptics_tpu.ops import trace as trace_mod
+    from torchoptics_tpu.ops.pallas_batch import (
+        _static_mask, prepare_fused_inputs_batch)
+
+    assert lens.kappa is not None and lens.asph is not None, (
+        "asphere kernel expects kappa/asph; use pallas_batch for spheres")
+    assert not config.double_precision, (
+        "fused kernels are float32; double_precision needs ops.trace")
+    xpb, ypb, cyb, z0, mu, shape = prepare_fused_inputs_batch(
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig)
+    outs = trace_fused_asphere_batch(
+        xpb, ypb, cyb, z0, lens.c, lens.kappa, lens.t, mu, lens.asph,
+        rows, penalties, config.newton_iters, config.allow_backward_rays,
+        _static_mask(lens.structure))
+    x, y, cx, cy_out, ok, bw = outs[:6]
+    result = trace_mod.TraceResult(
+        x.reshape(shape), y.reshape(shape), cx.reshape(shape),
+        cy_out.reshape(shape), ok.reshape(shape), bw.reshape(shape), None)
+    if penalties:
+        return result, tuple(p.reshape(shape) for p in outs[6:])
+    return result
+
+
 def trace_rays_fused_asphere(specs, lens, config,
                              key: Optional[jax.Array] = None,
                              xy=None, rows: int = DEFAULT_ROWS,
-                             penalties: bool = False):
+                             penalties: bool = False,
+                             use_vig: bool = True):
     """``trace_rays`` on the fused asphere kernel (B == 1, conic/asphere).
 
-    Mirrors ``pallas_trace.trace_rays_fused``; the lens must carry ``kappa``
-    and ``asph`` (use ``jnp.zeros`` for absent terms). ``config.newton_iters``
+    Mirrors ``pallas_trace.trace_rays_fused`` (vignetting, backward-ray
+    removal, and padded tails included); the lens must carry ``kappa`` and
+    ``asph`` (use ``jnp.zeros`` for absent terms). ``config.newton_iters``
     controls the in-kernel Newton count.
     """
     from torchoptics_tpu.ops.pallas_trace import (
-        _assert_fused_config, package_fused_result, prepare_fused_inputs)
+        _assert_fused_config, compress_padded_tail, package_fused_result,
+        prepare_fused_inputs)
 
     assert lens.kappa is not None and lens.asph is not None, (
         "asphere kernel expects kappa/asph; use pallas_trace for spheres")
+    lens = compress_padded_tail(lens)
     _assert_fused_config(lens, config)
 
     xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
-        specs, lens, config, key=key, xy=xy)
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig)
     outs = trace_fused_asphere(
         xp, yp, cyb, z0, lens.c[0], lens.kappa[0], lens.t[0], mu,
-        lens.asph[0], rows, penalties, config.newton_iters)
+        lens.asph[0], rows, penalties, config.newton_iters,
+        config.allow_backward_rays)
     return package_fused_result(outs, shape, penalties)

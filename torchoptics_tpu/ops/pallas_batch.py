@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from torchoptics_tpu.ops.pallas_trace import (
     LANES, _LOC_BOOL, _LOC_F32, _N_LOC_BOOL, _N_LOC_F32, _bwd_surface,
-    _fwd_surface, _theta_norm, _theta_norm_adjoint)
+    _fwd_surface, _kill_backward, _theta_norm, _theta_norm_adjoint)
 
 DEFAULT_ROWS = 8  # rows per tile per system: 8*128 = 1024 rays
 
@@ -45,8 +45,8 @@ def _mu_of_batch(mu_ref, k, widx, w):
     return mu
 
 
-def _fwd_kernel_b(n_surf, w, rows, penalties,
-                  z0_ref, c_ref, t_ref, mu_ref,
+def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward,
+                  z0_ref, c_ref, t_ref, mu_ref, mask_ref,
                   xp_ref, yp_ref, cy_ref, *outs):
     if penalties:
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
@@ -72,7 +72,15 @@ def _fwd_kernel_b(n_surf, w, rows, penalties,
         (x, y, z, cx, cy, cz, ok2), loc = _fwd_surface(
             c_ref[0, 0, k], t_ref[0, 0, k], mu, x, y, z, cx, cy, cz, ok)
         if k > 0:
-            bw = bw | ((loc["delta_z"] < 0) & loc["ok1"])
+            # Backward bookkeeping skips dummy (padded) previous surfaces —
+            # per-system mask rides in SMEM (`ray_tracing_lite.py:625-632`).
+            went_bw = ((loc["delta_z"] < 0) & loc["ok1"]
+                       & (mask_ref[0, 0, k - 1] > 0))
+            if allow_backward:
+                bw = bw | went_bw
+            else:
+                x, y, z, cx, cy, cz, ok2 = _kill_backward(
+                    went_bw, t_ref[0, 0, k], x, y, z, cx, cy, cz, ok2)
         ok = ok2
         if penalties:
             pen_th = pen_th + _theta_norm(loc["cos2"], ok)
@@ -83,7 +91,11 @@ def _fwd_kernel_b(n_surf, w, rows, penalties,
     dist = delta_z / cz
     x = x + dist * cx
     y = y + dist * cy
-    bw = bw | ((delta_z < 0) & ok)
+    last_real = mask_ref[0, 0, n_surf - 1] > 0
+    if allow_backward:
+        bw = bw | ((delta_z < 0) & ok & last_real)
+    else:
+        ok = ok & ~((delta_z < 0) & ok & last_real)
 
     x_out[...] = x
     y_out[...] = y
@@ -97,8 +109,8 @@ def _fwd_kernel_b(n_surf, w, rows, penalties,
         pz_out[...] = pen_z
 
 
-def _bwd_kernel_b(n_surf, w, rows, penalties,
-                  z0_ref, c_ref, t_ref, mu_ref,
+def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward,
+                  z0_ref, c_ref, t_ref, mu_ref, mask_ref,
                   xp_ref, yp_ref, cyin_ref, *rest):
     if penalties:
         (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
@@ -134,6 +146,11 @@ def _bwd_kernel_b(n_surf, w, rows, penalties,
         mu = _mu_of_batch(mu_ref, k, widx, w)
         (x, y, z, cx, cy, cz, ok), loc = _fwd_surface(
             c_ref[0, 0, k], t_ref[0, 0, k], mu, x, y, z, cx, cy, cz, ok)
+        if not allow_backward and k > 0:
+            x, y, z, cx, cy, cz, ok = _kill_backward(
+                (loc["delta_z"] < 0) & loc["ok1"]
+                & (mask_ref[0, 0, k - 1] > 0),
+                t_ref[0, 0, k], x, y, z, cx, cy, cz, ok)
         for li, name in enumerate(_LOC_F32):
             st_locf[li, k] = loc[name]
         for li, name in enumerate(_LOC_BOOL):
@@ -171,16 +188,33 @@ def _bwd_kernel_b(n_surf, w, rows, penalties,
         loc = {name: st_locf[li, k] for li, name in enumerate(_LOC_F32)}
         loc.update({name: st_locb[li, k]
                     for li, name in enumerate(_LOC_BOOL)})
+        kill = None
+        if not allow_backward and k > 0:
+            kill = ((loc["dist"] * st_cz[k] < 0) & loc["ok1"]
+                    & (mask_ref[0, 0, k - 1] > 0))
         dcos2_extra = dcos2p_extra = None
         if penalties:
             ok_end = loc["ok1"] & ~loc["fail2"]
+            if kill is not None:
+                ok_end = ok_end & ~kill
             z_next = st_z[k + 1] if k + 1 < n_surf else z
             dz = dz + dpz * (z_next > 0)
             dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
             dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
+        dt_kill = None
+        if kill is not None:
+            dt_kill = -jnp.sum(jnp.where(kill, dz, 0.0))
+            dx = jnp.where(kill, 0.0, dx)
+            dy = jnp.where(kill, 0.0, dy)
+            dz = jnp.where(kill, 0.0, dz)
+            dcx = jnp.where(kill, 0.0, dcx)
+            dcy = jnp.where(kill, 0.0, dcy)
+            dcz = jnp.where(kill, 0.0, dcz)
         (dx, dy, dz, dcx, dcy, dcz), dc_k, dt_k, dmu_ray = _bwd_surface(
             c_ref[0, 0, k], t_ref[0, 0, k], mu, pre, loc,
             (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra)
+        if dt_kill is not None:
+            dt_k = dt_k + dt_kill
         dc_out[0, 0, k] += dc_k
         dt_out[0, 0, k] += dt_k
         for wi in range(w):
@@ -199,19 +233,30 @@ def _pad_rays(n: int, rows: int) -> int:
     return int(math.ceil(n / tile) * tile)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def trace_fused_batch(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS,
-                      penalties=False):
+                      penalties=False, allow_backward=True, mask=None):
     """Fused spherical trace of a lens population.
 
     Args:
       xp, yp, cy: (B, N) per-system flat ray blocks (wavelength innermost).
       z0: (B,) entrance-pupil positions.
       c, t: (B, S); mu: (B, S, W).
+      allow_backward: False removes backward rays instead of flagging them.
+      mask: static per-system surface-validity mask as a hashable tuple of
+        0/1 tuples (heterogeneous padded populations); None means all valid.
 
     Returns per-system (B, N) outputs (x, y, cx, cy, ok, bw[, pen...]).
     """
-    return _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties)
+    return _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties,
+                      allow_backward, mask)
+
+
+def _mask_array(mask, B, n_surf):
+    if mask is None:
+        return jnp.ones((B, 1, n_surf), jnp.float32)
+    arr = jnp.asarray(mask, jnp.float32).reshape(B, 1, n_surf)
+    return arr
 
 
 def _prep(a, rows):
@@ -237,7 +282,8 @@ def _specs_common(rows, n_surf, w, n_rows):
     return ray_spec, z0_spec, ct_spec, mu_spec
 
 
-def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties):
+def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
+               mask):
     B, n = xp.shape
     n_surf = c.shape[1]
     w = mu.shape[2]
@@ -257,26 +303,30 @@ def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties):
         * (n_out - 6))
 
     outs = pl.pallas_call(
-        partial(_fwd_kernel_b, n_surf, w, rows, penalties),
+        partial(_fwd_kernel_b, n_surf, w, rows, penalties, allow_backward),
         grid=grid,
-        in_specs=[z0_spec, ct_spec, ct_spec, mu_spec,
+        in_specs=[z0_spec, ct_spec, ct_spec, mu_spec, ct_spec,
                   ray_spec, ray_spec, ray_spec],
         out_specs=tuple([ray_spec] * n_out),
         out_shape=tuple(out_shapes),
     )(z0.reshape(-1, 1, 1).astype(jnp.float32),
       c[:, None].astype(jnp.float32), t[:, None].astype(jnp.float32),
-      mu[:, None].astype(jnp.float32), xp2, yp2, cy2)
+      mu[:, None].astype(jnp.float32), _mask_array(mask, B, n_surf),
+      xp2, yp2, cy2)
 
     unpad = lambda a: a.reshape(B, -1)[:, :n]
     return tuple(unpad(o) for o in outs)
 
 
-def _fused_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties):
-    out = _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties)
+def _fused_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
+                 mask):
+    out = _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties,
+                     allow_backward, mask)
     return out, (xp, yp, cy, z0, c, t, mu)
 
 
-def _fused_bwd_b(rows, penalties, residuals, cotangents):
+def _fused_bwd_b(rows, penalties, allow_backward, mask, residuals,
+                 cotangents):
     xp, yp, cy, z0, c, t, mu = residuals
     if penalties:
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
@@ -316,9 +366,9 @@ def _fused_bwd_b(rows, penalties, residuals, cotangents):
                             memory_space=pltpu.SMEM)
 
     outs = pl.pallas_call(
-        partial(_bwd_kernel_b, n_surf, w, rows, penalties),
+        partial(_bwd_kernel_b, n_surf, w, rows, penalties, allow_backward),
         grid=grid,
-        in_specs=[z0_spec, ct_spec, ct_spec, mu_spec,
+        in_specs=[z0_spec, ct_spec, ct_spec, mu_spec, ct_spec,
                   ray_spec, ray_spec, ray_spec,
                   ray_spec, ray_spec, ray_spec, ray_spec]
         + [ray_spec] * len(pen_in),
@@ -328,7 +378,7 @@ def _fused_bwd_b(rows, penalties, residuals, cotangents):
         scratch_shapes=scratch,
     )(z0.reshape(-1, 1, 1).astype(jnp.float32),
       c[:, None].astype(jnp.float32), t[:, None].astype(jnp.float32),
-      mu[:, None].astype(jnp.float32),
+      mu[:, None].astype(jnp.float32), _mask_array(mask, B, n_surf),
       xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
 
     dxp2, dyp2, dcy2o, dz0, dc, dt, dmu = outs
@@ -345,42 +395,44 @@ trace_fused_batch.defvjp(_fused_fwd_b, _fused_bwd_b)
 # ---------------------------------------------------------------------------
 
 
-def batched_unsupervised_loss(specs, lens, config,
-                              key: Optional[jax.Array] = None,
-                              rows: int = DEFAULT_ROWS):
-    """Unsupervised loss Lu for a whole lens population in one fused launch.
+def _static_mask(structure):
+    """Hashable per-system surface mask (None when nothing is padded)."""
+    if bool(np.all(structure.mask)):
+        return None
+    return tuple(tuple(int(v) for v in row) for row in structure.mask)
 
-    This is the TPU-native form of the reference's generator-training loss
-    (`optical_loss.py:99-122`, a serial per-sample Python loop there): all
-    systems must share one Structure (one generator lens type), parameters
-    and specs are batched along axis 0.
 
-    Args:
-      specs/lens: batched (B systems); spherical, no padded surfaces.
-      config: ``simulator.SimulatorConfig``.
+def prepare_fused_inputs_batch(specs, lens, cfg, key=None, xy=None,
+                               use_vig=True):
+    """Batched front-end mirroring ``pallas_trace.prepare_fused_inputs``:
+    dispersion, pupil placement, sampling, vignetting, ray aiming, EPD
+    scaling, flatten to per-system (B, N) ray blocks.
 
-    Returns (mean_Lu, {"loss_unsup": (B,), "rms": (B,), "penalty": (B,)}).
-    """
-    from torchoptics_tpu.models import glass as glass_mod
+    Returns (xpb, ypb, cyb, z0, mu, (B, F, P, W))."""
     from torchoptics_tpu.ops import abcd as abcd_mod
-    from torchoptics_tpu.ops import metrics as metrics_mod
     from torchoptics_tpu.ops import pupil as pupil_mod
 
-    assert lens.is_spherical, "batched fused kernel is spherical"
-    assert bool(np.all(lens.structure.mask)), (
-        "batched fused kernel expects no padded surfaces")
-    cfg = config.trace_config()
     B = len(lens)
-
     n = lens.get_refractive_indices(cfg.wavelengths)     # (B, S, W)
     n_full = jnp.concatenate((jnp.ones_like(n[:, :1, :]), n), axis=1)
     mu = n_full[:, :-1, :] / n_full[:, 1:, :]            # (B, S, W)
     z0 = abcd_mod.compute_pupil_position(lens)           # (B,)
 
-    xp_rel, yp_rel = pupil_mod.sample_pupil(cfg.mode, cfg.n_rays, B, key=key)
+    if xy is None:
+        xp_rel, yp_rel = pupil_mod.sample_pupil(cfg.mode, cfg.n_rays, B,
+                                                key=key)
+    else:
+        xp_rel, yp_rel = xy
+    if use_vig and cfg.vig_fn is not None and cfg.mode != "chief":
+        fields = jnp.asarray(cfg.rel_fields, jnp.float32)[None, :]
+        vig_up = cfg.vig_fn(fields, specs.vig_up)
+        vig_down = cfg.vig_fn(fields, specs.vig_down)
+        vig_x = cfg.vig_fn(fields, specs.vig_x)
+        yp_rel = pupil_mod.apply_vignetting(yp_rel, vig_up, vig_down)
+        xp_rel = pupil_mod.apply_vignetting(xp_rel, vig_x, vig_x)
     if cfg.n_ray_aiming_iter > 0:
         from torchoptics_tpu.ops import aiming
-        aiming_fn = aiming.ray_aiming(specs, lens.detach(), cfg, True)
+        aiming_fn = aiming.ray_aiming(specs, lens.detach(), cfg, use_vig)
         xp_rel, yp_rel = [jax.lax.stop_gradient(jnp.clip(v, -2.0, 2.0))
                           for v in aiming_fn(xp_rel, yp_rel)]
     xp = pupil_mod.scale_to_epd(xp_rel, specs.epd)
@@ -395,15 +447,68 @@ def batched_unsupervised_loss(specs, lens, config,
     xpb = jnp.broadcast_to(xp, (B, F, P, W)).reshape(B, -1)
     ypb = jnp.broadcast_to(yp, (B, F, P, W)).reshape(B, -1)
     cyb = jnp.broadcast_to(cy[:, :, None, None], (B, F, P, W)).reshape(B, -1)
+    return xpb, ypb, cyb, z0, mu, (B, F, P, W)
 
+
+def trace_rays_fused_batch(specs, lens, config,
+                           key: Optional[jax.Array] = None,
+                           xy=None, rows: int = DEFAULT_ROWS,
+                           penalties: bool = False, use_vig: bool = True):
+    """``trace_rays`` on the fused batch kernel (B ≥ 1, spherical;
+    heterogeneous padded structures supported via static per-system masks).
+
+    Returns a ``TraceResult`` shaped (B, F, P, W); with ``penalties`` also
+    the per-ray penalty sums, as in ``pallas_trace.trace_rays_fused``."""
+    from torchoptics_tpu.ops import trace as trace_mod
+
+    assert lens.is_spherical, "batched fused kernel is spherical"
+    assert not config.double_precision, (
+        "fused kernels are float32; double_precision needs ops.trace")
+    xpb, ypb, cyb, z0, mu, shape = prepare_fused_inputs_batch(
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig)
     outs = trace_fused_batch(xpb, ypb, cyb, z0, lens.c, lens.t, mu,
-                             rows, True)
-    x, y, cx, cy_out, ok, bw, pth, ptp, pz = outs
-    shape = (B, F, P, W)
-    rms = metrics_mod.compute_rms2d(x.reshape(shape), y.reshape(shape),
-                                    ok.reshape(shape))  # (B,)
-    n_sequence = len(lens.structure.sequence[0])
-    sumQ = (jnp.sum(pth, axis=1) + jnp.sum(ptp, axis=1)
-            + jnp.sum(pz, axis=1)) / n_sequence
+                             rows, penalties, config.allow_backward_rays,
+                             _static_mask(lens.structure))
+    x, y, cx, cy_out, ok, bw = outs[:6]
+    result = trace_mod.TraceResult(
+        x.reshape(shape), y.reshape(shape), cx.reshape(shape),
+        cy_out.reshape(shape), ok.reshape(shape), bw.reshape(shape), None)
+    if penalties:
+        return result, tuple(p.reshape(shape) for p in outs[6:])
+    return result
+
+
+def batched_unsupervised_loss(specs, lens, config,
+                              key: Optional[jax.Array] = None,
+                              rows: int = DEFAULT_ROWS):
+    """Unsupervised loss Lu for a whole lens population in one fused launch.
+
+    This is the TPU-native form of the reference's generator-training loss
+    (`optical_loss.py:99-122`, a serial per-sample Python loop there):
+    parameters and specs are batched along axis 0; heterogeneous padded
+    populations normalize each system's Q by its own surface count.
+
+    Returns (mean_Lu, {"loss_unsup": (B,), "rms": (B,), "penalty": (B,)}).
+    """
+    from torchoptics_tpu.ops import metrics as metrics_mod
+
+    cfg = config.trace_config()
+    if lens.is_spherical:
+        result, (pth, ptp, pz) = trace_rays_fused_batch(
+            specs, lens, cfg, key=key, rows=rows, penalties=True)
+    else:
+        from torchoptics_tpu.ops import pallas_asphere
+        lens_a = lens
+        if lens_a.kappa is None:
+            lens_a = lens_a.replace(kappa=jnp.zeros_like(lens_a.c))
+        if lens_a.asph is None:
+            lens_a = lens_a.replace(asph=jnp.zeros(lens_a.c.shape + (1,)))
+        result, (pth, ptp, pz) = (
+            pallas_asphere.trace_rays_fused_asphere_batch(
+                specs, lens_a, cfg, key=key, rows=rows, penalties=True))
+    rms = metrics_mod.compute_rms2d(result.x, result.y, result.ray_ok)  # (B,)
+    n_seq = jnp.asarray(lens.structure.n_surfaces, dtype=rms.dtype)  # (B,)
+    sumQ = (jnp.sum(pth, axis=(1, 2, 3)) + jnp.sum(ptp, axis=(1, 2, 3))
+            + jnp.sum(pz, axis=(1, 2, 3))) / n_seq
     Lu = rms + config.penalty_rate * sumQ
     return jnp.mean(Lu), {"loss_unsup": Lu, "rms": rms, "penalty": sumQ}

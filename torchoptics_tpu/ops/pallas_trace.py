@@ -253,12 +253,55 @@ def _theta_norm_adjoint(cos2, ok_end, dpen):
     return jnp.where(active, d, 0.0)
 
 
-def _fwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
-                xp_ref, yp_ref, cy_ref, *outs):
-    if penalties:
+def _kill_backward(kill, t_k, x, y, z, cx, cy, cz, ok):
+    """Apply the reference's allow_backward_rays=False semantics after a
+    surface step: backward rays are failed and reset before the z -= t
+    re-centering (`ray_tracing_lite.py:629-639`) — so their z lands at -t."""
+    ok = ok & ~kill
+    x = jnp.where(kill, 0.0, x)
+    y = jnp.where(kill, 0.0, y)
+    z = jnp.where(kill, -t_k, z)
+    cx = jnp.where(kill, 0.0, cx)
+    cy = jnp.where(kill, 0.0, cy)
+    cz = jnp.where(kill, 1.0, cz)
+    return x, y, z, cx, cy, cz, ok
+
+
+def _hinge(delta, lo, hi):
+    """Path-bound hinge max(lo - d, 0) + max(d - hi, 0); lo/hi are static
+    python floats (±inf disables a side) — matches
+    ``simulator.compute_ray_path_penalty``."""
+    pen = jnp.zeros_like(delta)
+    if lo != -math.inf:
+        pen = pen + jnp.maximum(lo - delta, 0.0)
+    if hi != math.inf:
+        pen = pen + jnp.maximum(delta - hi, 0.0)
+    return pen
+
+
+def _hinge_grad(delta, lo, hi):
+    """d(_hinge)/d(delta): -1 below lo, +1 above hi, 0 inside."""
+    g = jnp.zeros_like(delta)
+    if lo != -math.inf:
+        g = g - (delta < lo).astype(jnp.float32)
+    if hi != math.inf:
+        g = g + (delta > hi).astype(jnp.float32)
+    return g
+
+
+def _fwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
+                angle_thr, z0_ref, c_ref, t_ref, mu_ref, *refs):
+    full = penalties == "full"
+    if full:
+        ref_ref, xp_ref, yp_ref, cy_ref, *outs = refs
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
+         pth_out, ptp_out, pz_out, ppath_out, pang_out) = outs
+    elif penalties:
+        xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out) = outs
     else:
+        xp_ref, yp_ref, cy_ref, *outs = refs
         x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
     i = pl.program_id(0)
     widx = _widx(i, rows, w)
@@ -273,25 +316,52 @@ def _fwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
     pen_th = jnp.zeros_like(x)
     pen_tp = jnp.zeros_like(x)
     pen_z = jnp.zeros_like(x)
+    pen_path = jnp.zeros_like(x)
+    pen_ang = jnp.zeros_like(x)
+    z_prev = None
 
     for k in range(n_surf):
         mu = _mu_of(mu_ref, k, widx, w)
         (x, y, z, cx, cy, cz, ok2), loc = _fwd_surface(
             c_ref[k], t_ref[k], mu, x, y, z, cx, cy, cz, ok)
         if k > 0:
-            bw = bw | ((loc["delta_z"] < 0) & loc["ok1"])
+            went_bw = (loc["delta_z"] < 0) & loc["ok1"]
+            if allow_backward:
+                bw = bw | went_bw
+            else:
+                x, y, z, cx, cy, cz, ok2 = _kill_backward(
+                    went_bw, t_ref[k], x, y, z, cx, cy, cz, ok2)
         ok = ok2
         if penalties:
             pen_th = pen_th + _theta_norm(loc["cos2"], ok)
             pen_tp = pen_tp + _theta_norm(loc["cos2p"], ok)
             pen_z = pen_z + jnp.maximum(z, 0.0)
+        if full:
+            # Angle hinge on both raw cos² locals
+            # (`optics_simulator_lite.py:641-643`).
+            pen_ang = (pen_ang + jnp.maximum(angle_thr - loc["cos2"], 0.0)
+                       + jnp.maximum(angle_thr - loc["cos2p"], 0.0))
+            # Path hinge on the absolute inter-vertex ray Δz
+            # (`optics_simulator_lite.py:615-638`): abs_z_k = z_k + ref_z[k].
+            if k > 0:
+                delta = (z + ref_ref[0, k]) - (z_prev + ref_ref[0, k - 1])
+                pen_path = pen_path + _hinge(delta, *path_bounds[k - 1])
+            z_prev = z
+    if full:
+        # Image-plane entry: z_stack[S] == 0 in its own frame,
+        # ref_z[S] repeats the last vertex (`optics_simulator_lite.py:624`).
+        delta = ref_ref[0, n_surf] - (z_prev + ref_ref[0, n_surf - 1])
+        pen_path = pen_path + _hinge(delta, *path_bounds[n_surf - 1])
 
     # transfer to image plane
     delta_z = -z
     dist = delta_z / cz
     x = x + dist * cx
     y = y + dist * cy
-    bw = bw | ((delta_z < 0) & ok)
+    if allow_backward:
+        bw = bw | ((delta_z < 0) & ok)
+    else:
+        ok = ok & ~((delta_z < 0) & ok)
 
     x_out[...] = x
     y_out[...] = y
@@ -303,6 +373,9 @@ def _fwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
         pth_out[...] = pen_th
         ptp_out[...] = pen_tp
         pz_out[...] = pen_z
+    if full:
+        ppath_out[...] = pen_path
+        pang_out[...] = pen_ang
 
 
 
@@ -315,15 +388,27 @@ _N_LOC_F32 = len(_LOC_F32)
 _N_LOC_BOOL = len(_LOC_BOOL)
 
 
-def _bwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
-                xp_ref, yp_ref, cyin_ref, *rest):
-    if penalties:
-        (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+def _bwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
+                angle_thr, z0_ref, c_ref, t_ref, mu_ref, *rest):
+    full = penalties == "full"
+    ref_ref = None
+    if full:
+        (ref_ref, xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+         dppath_ref, dpang_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
+         dref_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
+    elif penalties:
+        (xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
          st_locf, st_locb) = rest
     else:
-        (dx_ref, dy_ref, dcx_ref, dcy_ref,
+        (xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
          st_locf, st_locb) = rest
@@ -352,6 +437,10 @@ def _bwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
         mu = _mu_of(mu_ref, k, widx, w)
         (x, y, z, cx, cy, cz, ok), loc = _fwd_surface(
             c_ref[k], t_ref[k], mu, x, y, z, cx, cy, cz, ok)
+        if not allow_backward and k > 0:
+            x, y, z, cx, cy, cz, ok = _kill_backward(
+                (loc["delta_z"] < 0) & loc["ok1"], t_ref[k],
+                x, y, z, cx, cy, cz, ok)
         for li, name in enumerate(_LOC_F32):
             st_locf[li, k] = loc[name]
         for li, name in enumerate(_LOC_BOOL):
@@ -379,11 +468,31 @@ def _bwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
             dt_out[0, k] = 0.0
             for wi in range(w):
                 dmu_out[0, k, wi] = 0.0
+        if full:
+            for k in range(n_surf + 1):
+                dref_out[0, k] = 0.0
 
     if penalties:
         dpth = dpth_ref[...]
         dptp = dptp_ref[...]
         dpz = dpz_ref[...]
+    if full:
+        dppath = dppath_ref[...]
+        dpang = dpang_ref[...]
+
+        def zpost(m):
+            """Post-surface-m z state (st_z holds pre-states)."""
+            return st_z[m + 1] if m + 1 < n_surf else z
+
+        def hinge_cot(j):
+            """dppath · d(hinge_j)/d(delta_j) for path gap j."""
+            if j == n_surf - 1:
+                delta = ref_ref[0, n_surf] - (zpost(n_surf - 1)
+                                              + ref_ref[0, n_surf - 1])
+            else:
+                delta = ((zpost(j + 1) + ref_ref[0, j + 1])
+                         - (zpost(j) + ref_ref[0, j]))
+            return dppath * _hinge_grad(delta, *path_bounds[j])
 
     # ---- reverse surface loop over the stashed locals (no recompute) ----
     for k in range(n_surf - 1, -1, -1):
@@ -393,9 +502,15 @@ def _bwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
         loc = {name: st_locf[li, k] for li, name in enumerate(_LOC_F32)}
         loc.update({name: st_locb[li, k]
                     for li, name in enumerate(_LOC_BOOL)})
+        kill = None
+        if not allow_backward and k > 0:
+            # delta_z = dist * cz_pre (matches _fwd_surface)
+            kill = (loc["dist"] * st_cz[k] < 0) & loc["ok1"]
         dcos2_extra = dcos2p_extra = None
         if penalties:
             ok_end = loc["ok1"] & ~loc["fail2"]
+            if kill is not None:
+                ok_end = ok_end & ~kill
             # z_next = zD - t with zD = where(ok2, zB, 0); zB is the state z
             # BEFORE the next surface = st_z[k+1] (or the post-loop z).
             z_next = st_z[k + 1] if k + 1 < n_surf else z
@@ -403,9 +518,37 @@ def _bwd_kernel(n_surf, w, rows, penalties, z0_ref, c_ref, t_ref, mu_ref,
             dz = dz + dpz * (z_next > 0)
             dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
             dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
+        if full:
+            # Path-penalty adjoint: z_state_k enters delta_{k-1} (+) and
+            # delta_k (−); ref_z mirrors the same pattern, accumulated as a
+            # differentiable kernel output (host chains it into cumsum(t)).
+            hp_k = hinge_cot(k)
+            dz = dz - hp_k
+            if k > 0:
+                dz = dz + hinge_cot(k - 1)
+            dref_out[0, k + 1] += jnp.sum(hp_k)
+            dref_out[0, k] += -jnp.sum(hp_k)
+            # Angle-penalty adjoint on the raw cos² locals.
+            dcos2_extra = dcos2_extra - dpang * (
+                loc["cos2"] < angle_thr).astype(jnp.float32)
+            dcos2p_extra = dcos2p_extra - dpang * (
+                loc["cos2p"] < angle_thr).astype(jnp.float32)
+        dt_kill = None
+        if kill is not None:
+            # Adjoint of _kill_backward: killed lanes got z = -t (dz flows to
+            # dt) and zeroed state (all other cotangents cut).
+            dt_kill = -jnp.sum(jnp.where(kill, dz, 0.0))
+            dx = jnp.where(kill, 0.0, dx)
+            dy = jnp.where(kill, 0.0, dy)
+            dz = jnp.where(kill, 0.0, dz)
+            dcx = jnp.where(kill, 0.0, dcx)
+            dcy = jnp.where(kill, 0.0, dcy)
+            dcz = jnp.where(kill, 0.0, dcz)
         (dx, dy, dz, dcx, dcy, dcz), dc_k, dt_k, dmu_ray = _bwd_surface(
             c_ref[k], t_ref[k], mu, pre, loc, (dx, dy, dz, dcx, dcy, dcz),
             dcos2_extra, dcos2p_extra)
+        if dt_kill is not None:
+            dt_k = dt_k + dt_kill
         dc_out[0, k] += dc_k
         dt_out[0, k] += dt_k
         for wi in range(w):
@@ -425,9 +568,9 @@ def _pad_len(n: int, rows: int) -> int:
     return int(math.ceil(n / tile) * tile)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def trace_fused(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS,
-                penalties=False):
+                penalties=False, allow_backward=True):
     """Fused spherical trace of a flat ray block on one chip.
 
     Args:
@@ -440,14 +583,36 @@ def trace_fused(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS,
         in-kernel (sums over surfaces of theta_norm, theta_prime_norm,
         relu(z) per ray) — the whole Lu objective then never materializes
         per-surface stacks in HBM.
+      allow_backward: False applies the reference's backward-ray *removal*
+        (`ray_tracing_lite.py:629-632`) instead of bookkeeping.
 
     Returns (x, y, cx, cy, ray_ok, ray_backward[, pen_theta, pen_theta_p,
     pen_zrelu]), each (N,).
     """
-    return _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties)
+    return _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties,
+                    allow_backward)
 
 
-def _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties):
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def trace_fused_full(xp, yp, cy, z0, c, t, mu, ref_z, rows=DEFAULT_ROWS,
+                     allow_backward=True, path_bounds=(), angle_thr=0.25):
+    """``trace_fused`` with the FULL weighted-loss penalty set accumulated
+    in-kernel: the Lu terms plus the ray-path hinge (vs ``ref_z`` absolute
+    vertex positions and static per-gap ``path_bounds`` (lo, hi) tuples,
+    `optics_simulator_lite.py:615-638`) and the ray-angle hinge vs static
+    ``angle_thr`` = cos²(threshold) (`optics_simulator_lite.py:641-643`).
+
+    ``ref_z`` is (S+1,) differentiable (host passes cumsum(t) + repeat-last
+    and chains the returned cotangent). Returns the 6 trace outputs plus
+    (pen_theta, pen_theta_p, pen_zrelu, pen_path, pen_angle), each (N,).
+    """
+    return _run_fwd(xp, yp, cy, z0, c, t, mu, rows, "full", allow_backward,
+                    ref_z, path_bounds, angle_thr)
+
+
+def _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
+             ref_z=None, path_bounds=None, angle_thr=None):
+    full = penalties == "full"
     n = xp.shape[0]
     n_surf = c.shape[0]
     w = mu.shape[1]
@@ -461,44 +626,59 @@ def _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties):
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    n_f32 = 4 + (3 if penalties else 0)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    n_f32 = 4 + (3 if penalties else 0) + (2 if full else 0)
     out_shapes = (
         [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 4
         + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.bool_)] * 2
         + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * (n_f32 - 4))
 
+    ref_in = []
+    if full:
+        ref_in = [jnp.reshape(ref_z, (1, -1)).astype(jnp.float32)]
+
     outs = pl.pallas_call(
-        partial(_fwd_kernel, n_surf, w, rows, penalties),
+        partial(_fwd_kernel, n_surf, w, rows, penalties, allow_backward,
+                path_bounds, angle_thr),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # z0 (1,1)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # c (S,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # t (S,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # mu (S,W)
-            ray_spec, ray_spec, ray_spec,
-        ],
+        in_specs=[smem] * (4 + len(ref_in)) + [ray_spec] * 3,
         out_specs=tuple([ray_spec] * len(out_shapes)),
         out_shape=tuple(out_shapes),
     )(jnp.reshape(z0, (1, 1)).astype(jnp.float32),
       c.astype(jnp.float32), t.astype(jnp.float32), mu.astype(jnp.float32),
-      xp2, yp2, cy2)
+      *ref_in, xp2, yp2, cy2)
 
     unpad = lambda a: a.reshape(-1)[:n]
     return tuple(unpad(o) for o in outs)
 
 
-def _fused_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties):
-    out = _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties)
+def _fused_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward):
+    out = _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward)
     return out, (xp, yp, cy, z0, c, t, mu)
 
 
-def _fused_bwd(rows, penalties, residuals, cotangents):
-    xp, yp, cy, z0, c, t, mu = residuals
-    if penalties:
+def _fused_full_fwd(xp, yp, cy, z0, c, t, mu, ref_z, rows, allow_backward,
+                    path_bounds, angle_thr):
+    out = _run_fwd(xp, yp, cy, z0, c, t, mu, rows, "full", allow_backward,
+                   ref_z, path_bounds, angle_thr)
+    return out, (xp, yp, cy, z0, c, t, mu, ref_z)
+
+
+def _run_bwd(residuals, cotangents, rows, penalties, allow_backward,
+             path_bounds=None, angle_thr=None):
+    full = penalties == "full"
+    if full:
+        xp, yp, cy, z0, c, t, mu, ref_z = residuals
+        (dx, dy, dcx, dcy, _dok, _dbw,
+         dpth, dptp, dpz, dppath, dpang) = cotangents
+    elif penalties:
+        xp, yp, cy, z0, c, t, mu = residuals
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
+        ref_z = dppath = dpang = None
     else:
+        xp, yp, cy, z0, c, t, mu = residuals
         dx, dy, dcx, dcy, _dok, _dbw = cotangents
-        dpth = dptp = dpz = None
+        ref_z = dpth = dptp = dpz = dppath = dpang = None
 
     n = xp.shape[0]
     n_surf = c.shape[0]
@@ -512,12 +692,15 @@ def _fused_bwd(rows, penalties, residuals, cotangents):
     pen_in = []
     if penalties:
         pen_in = [as2d(dpth), as2d(dptp), as2d(dpz)]
+    if full:
+        pen_in += [as2d(dppath), as2d(dpang)]
     n_rows = xp2.shape[0]
     n_tiles = n_rows // rows
     grid = (n_tiles,)
 
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # Param-grad outputs: whole-array SMEM blocks shared by every grid step
     # (TPU grids are sequential), accumulated in-kernel. Scalars cannot be
     # stored to VMEM, and partial blocks in SMEM must match the array shape.
@@ -525,7 +708,7 @@ def _fused_bwd(rows, penalties, residuals, cotangents):
         (1,) + shape, lambda i: (0,) + (0,) * len(shape),
         memory_space=pltpu.SMEM)
 
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),  # dxp
         jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),  # dyp
         jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),  # dcy
@@ -533,7 +716,21 @@ def _fused_bwd(rows, penalties, residuals, cotangents):
         jax.ShapeDtypeStruct((1, n_surf), jnp.float32),      # dc
         jax.ShapeDtypeStruct((1, n_surf), jnp.float32),      # dt
         jax.ShapeDtypeStruct((1, n_surf, w), jnp.float32),   # dmu
-    )
+    ]
+    out_specs = [
+        ray_spec, ray_spec, ray_spec,
+        scalar_tile((1,)),
+        scalar_tile((n_surf,)),
+        scalar_tile((n_surf,)),
+        scalar_tile((n_surf, w)),
+    ]
+    ref_in = []
+    if full:
+        out_shape.append(
+            jax.ShapeDtypeStruct((1, n_surf + 1), jnp.float32))  # dref_z
+        out_specs.append(scalar_tile((n_surf + 1,)))
+        ref_in = [jnp.reshape(ref_z, (1, -1)).astype(jnp.float32)]
+
     scratch = [pltpu.VMEM((n_surf, rows, LANES), jnp.float32)
                for _ in range(6)]
     scratch.append(pltpu.VMEM((n_surf, rows, LANES), jnp.bool_))
@@ -541,39 +738,46 @@ def _fused_bwd(rows, penalties, residuals, cotangents):
     scratch.append(pltpu.VMEM((_N_LOC_BOOL, n_surf, rows, LANES), jnp.bool_))
 
     outs = pl.pallas_call(
-        partial(_bwd_kernel, n_surf, w, rows, penalties),
+        partial(_bwd_kernel, n_surf, w, rows, penalties, allow_backward,
+                path_bounds, angle_thr),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            ray_spec, ray_spec, ray_spec,
-            ray_spec, ray_spec, ray_spec, ray_spec,
-        ] + [ray_spec] * len(pen_in),
-        out_specs=(
-            ray_spec, ray_spec, ray_spec,
-            scalar_tile((1,)),
-            scalar_tile((n_surf,)),
-            scalar_tile((n_surf,)),
-            scalar_tile((n_surf, w)),
-        ),
-        out_shape=out_shape,
+        in_specs=[smem] * (4 + len(ref_in))
+        + [ray_spec] * (7 + len(pen_in)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
     )(jnp.reshape(z0, (1, 1)).astype(jnp.float32),
       c.astype(jnp.float32), t.astype(jnp.float32), mu.astype(jnp.float32),
-      xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
+      *ref_in, xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
 
-    dxp2, dyp2, dcy2_out, dz0_p, dc_p, dt_p, dmu_p = outs
+    if full:
+        dxp2, dyp2, dcy2_out, dz0_p, dc_p, dt_p, dmu_p, dref_p = outs
+    else:
+        dxp2, dyp2, dcy2_out, dz0_p, dc_p, dt_p, dmu_p = outs
+        dref_p = None
     unpad = lambda a: a.reshape(-1)[:n]
     dxp = unpad(dxp2)
     dyp = unpad(dyp2)
     dcy_out = unpad(dcy2_out)
     dz0 = dz0_p.reshape(jnp.shape(z0))
-    return dxp, dyp, dcy_out, dz0, dc_p[0], dt_p[0], dmu_p[0]
+    grads = (dxp, dyp, dcy_out, dz0, dc_p[0], dt_p[0], dmu_p[0])
+    if full:
+        grads = grads + (dref_p[0].reshape(jnp.shape(ref_z)),)
+    return grads
+
+
+def _fused_bwd(rows, penalties, allow_backward, residuals, cotangents):
+    return _run_bwd(residuals, cotangents, rows, penalties, allow_backward)
+
+
+def _fused_full_bwd(rows, allow_backward, path_bounds, angle_thr,
+                    residuals, cotangents):
+    return _run_bwd(residuals, cotangents, rows, "full", allow_backward,
+                    path_bounds, angle_thr)
 
 
 trace_fused.defvjp(_fused_fwd, _fused_bwd)
+trace_fused_full.defvjp(_fused_full_fwd, _fused_full_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -584,21 +788,41 @@ trace_fused.defvjp(_fused_fwd, _fused_bwd)
 def _assert_fused_config(lens, config):
     assert len(lens) == 1, "fused kernel is single-system; use ops.trace"
     assert bool(np.all(lens.structure.mask)), (
-        "fused kernel expects no padded surfaces")
-    assert config.vig_fn is None, (
-        "fused kernel does not apply vignetting; use ops.trace")
-    assert config.allow_backward_rays, (
-        "fused kernel records backward rays but does not remove them; "
-        "allow_backward_rays=False needs ops.trace")
+        "fused kernel expects no padded surfaces; compress the tail first "
+        "(compress_padded_tail)")
     assert not config.double_precision, (
         "fused kernel is float32; double_precision needs ops.trace")
 
 
-def prepare_fused_inputs(specs, lens, config, key=None, xy=None):
+def compress_padded_tail(lens):
+    """Strip trailing padded surface slots from a single-system Lens.
+
+    Padded slots are static (mask is host numpy) and sit at the tail; the
+    XLA engine traces through them as flat/air identity surfaces, which the
+    fused kernels skip instead. x/y/ray_ok/gradients are identical; the only
+    divergence is ``ray_backward`` flags on already-past-focus rays, which
+    the padded XLA chain raises at the first dummy slot and the compressed
+    chain raises at the image transfer — the same predicate (see
+    `ray_tracing_lite.py:625-670` mask handling)."""
+    from torchoptics_tpu.models.structure import Lens, Structure
+    st = lens.structure
+    if bool(np.all(st.mask)):
+        return lens
+    assert len(lens) == 1, "tail compression is for single-system lenses"
+    n = int(st.n_surfaces[0])
+    new_st = Structure(st.stop_idx, st.sequence)
+    return Lens(new_st, lens.c[:, :n], lens.t[:, :n],
+                lens.nd[:, :n], lens.v[:, :n],
+                kappa=None if lens.kappa is None else lens.kappa[:, :n],
+                asph=None if lens.asph is None else lens.asph[:, :n])
+
+
+def prepare_fused_inputs(specs, lens, config, key=None, xy=None,
+                         use_vig=True):
     """Shared front-end for the fused wrappers (spherical and asphere):
-    dispersion, pupil placement, sampling, ray aiming (jnp engine,
-    stop-gradient), EPD scaling, and the flatten to the kernel's ray order
-    (wavelength innermost).
+    dispersion, pupil placement, sampling, vignetting, ray aiming (jnp
+    engine, stop-gradient), EPD scaling, and the flatten to the kernel's ray
+    order (wavelength innermost).
 
     Returns (xp_flat, yp_flat, cy_flat, z0, mu, (1, F, P, W))."""
     from torchoptics_tpu.ops import abcd as abcd_mod
@@ -616,9 +840,19 @@ def prepare_fused_inputs(specs, lens, config, key=None, xy=None):
     else:
         xp_rel, yp_rel = xy
 
+    if use_vig and config.vig_fn is not None and config.mode != "chief":
+        # Same pre-kernel vignetting as the jnp engine
+        # (`ray_tracing.py:96-103`).
+        fields = jnp.asarray(config.rel_fields, jnp.float32)[None, :]
+        vig_up = config.vig_fn(fields, specs.vig_up)
+        vig_down = config.vig_fn(fields, specs.vig_down)
+        vig_x = config.vig_fn(fields, specs.vig_x)
+        yp_rel = pupil_mod.apply_vignetting(yp_rel, vig_up, vig_down)
+        xp_rel = pupil_mod.apply_vignetting(xp_rel, vig_x, vig_x)
+
     if config.n_ray_aiming_iter > 0:
         from torchoptics_tpu.ops import aiming
-        aiming_fn = aiming.ray_aiming(specs, lens.detach(), config, True)
+        aiming_fn = aiming.ray_aiming(specs, lens.detach(), config, use_vig)
         xp_rel, yp_rel = [jax.lax.stop_gradient(jnp.clip(v, -2.0, 2.0))
                           for v in aiming_fn(xp_rel, yp_rel)]
 
@@ -654,22 +888,102 @@ def package_fused_result(outs, shape, penalties):
 
 def trace_rays_fused(specs, lens, config, key: Optional[jax.Array] = None,
                      xy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                     rows: int = DEFAULT_ROWS, penalties: bool = False):
+                     rows: int = DEFAULT_ROWS, penalties: bool = False,
+                     use_vig: bool = True):
     """``trace_rays`` on the fused Pallas kernel (B == 1, spherical).
 
     Ray aiming (if configured) runs on the jnp engine — it is a tiny tee-ray
     solve whose output is stop-gradient — and feeds the fused kernel.
+    Vignetting, ``allow_backward_rays=False``, and padded surface tails are
+    all supported (the tail is compressed away host-side).
     Returns a ``TraceResult`` shaped (1, F, P, W) like the jnp engine; with
     ``penalties`` it returns ``(TraceResult, (pen_theta, pen_theta_p,
     pen_zrelu))`` where each penalty is the per-ray sum over surfaces.
     """
     assert lens.is_spherical, "fused kernel is spherical; use ops.trace"
+    lens = compress_padded_tail(lens)
     _assert_fused_config(lens, config)
     xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
-        specs, lens, config, key=key, xy=xy)
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig)
     outs = trace_fused(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu, rows,
-                       penalties)
+                       penalties, config.allow_backward_rays)
     return package_fused_result(outs, shape, penalties)
+
+
+def _path_bounds(structure, lower, upper):
+    """Static per-gap (lo, hi) hinge bounds for a single compressed system —
+    the reference's air/glass/image thickness maps
+    (`optics_simulator_lite.py:617-630`)."""
+    lo = [(-math.inf if v is None else float(v)) for v in lower]
+    hi = [(math.inf if v is None else float(v)) for v in upper]
+    lo_air, lo_glass, lo_image = lo
+    hi_air, hi_glass, hi_image = hi
+    mask_G = structure.mask_G[0]
+    S = int(structure.n_surfaces[0])
+    bounds = [(lo_glass, hi_glass) if mask_G[k] else (lo_air, hi_air)
+              for k in range(S)]
+    bounds[S - 1] = (lo_image, hi_image)
+    return tuple(bounds)
+
+
+def compute_losses_fused(specs, lens, config,
+                         g=None, catalog_g=None,
+                         key: Optional[jax.Array] = None,
+                         rows: int = DEFAULT_ROWS):
+    """The FULL weighted loss (spot + ray-path + ray-angle + glass + Lu) on
+    one fused kernel launch — the fused variant of
+    ``simulator.compute_losses`` (`optics_simulator_lite.py:411-454` intent).
+    No per-surface stack ever touches HBM: the path/angle hinges accumulate
+    in-kernel with hand-derived adjoints.
+
+    ``config`` is a ``simulator.SimulatorConfig``. Returns
+    (total, loss_dict) matching the XLA path numerically (tested in
+    interpret mode)."""
+    from torchoptics_tpu.ops import metrics as metrics_mod
+    from torchoptics_tpu import simulator as sim_mod
+
+    cfg = config.trace_config()
+    assert lens.is_spherical, (
+        "compute_losses_fused is spherical; use simulator.compute_losses")
+    lens = compress_padded_tail(lens)
+    _assert_fused_config(lens, cfg)
+
+    bounds = _path_bounds(lens.structure, config.ray_path_lower_thresholds,
+                          config.ray_path_upper_thresholds)
+    angle_thr = math.cos(math.radians(config.ray_angle_threshold)) ** 2
+
+    xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
+        specs, lens, cfg, key=key)
+    vertex_z = jnp.cumsum(lens.t[0])
+    ref_z = jnp.concatenate((vertex_z, vertex_z[-1:]))
+
+    outs = trace_fused_full(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu,
+                            ref_z, rows, cfg.allow_backward_rays, bounds,
+                            angle_thr)
+    result = package_fused_result(outs[:6], shape, False)
+    pth, ptp, pz, ppath, pang = [p.reshape(shape) for p in outs[6:]]
+
+    n_rays = shape[1] * shape[2] * shape[3]
+    rms = metrics_mod.compute_rms2d(result.x, result.y, result.ray_ok)[0]
+    n_sequence = int(lens.structure.n_surfaces[0])
+    sumQ = (jnp.sum(pth) + jnp.sum(ptp) + jnp.sum(pz)) / n_sequence
+    Lu = rms + config.penalty_rate * sumQ
+
+    loss_dict = {
+        "loss_unsup": Lu, "rms": rms, "penalty": sumQ,
+        "spot_size": rms,
+        # sum over gaps of the per-ray mean == total / n_rays
+        # (`simulator.compute_ray_path_penalty` reduction).
+        "ray_path": jnp.sum(ppath) / n_rays,
+        "ray_angle": jnp.sum(pang) / n_rays,
+    }
+    if g is not None:
+        loss_dict["glass"] = sim_mod.compute_glass_penalty(
+            lens.structure, g, catalog_g)
+    weights = config.loss_weights
+    total = sum(loss_dict[k] * w for k, w in weights.items()
+                if k in loss_dict and w is not None)
+    return total, loss_dict
 
 
 def unsupervised_loss_fused(specs, lens, config,
@@ -687,7 +1001,7 @@ def unsupervised_loss_fused(specs, lens, config,
     result, (pth, ptp, pz) = trace_rays_fused(
         specs, lens, cfg, key=key, rows=rows, penalties=True)
     rms = metrics_mod.compute_rms2d(result.x, result.y, result.ray_ok)[0]
-    n_sequence = len(lens.structure.sequence[0])
+    n_sequence = int(lens.structure.n_surfaces[0])
     sumQ = (jnp.sum(pth) + jnp.sum(ptp) + jnp.sum(pz)) / n_sequence
     Lu = rms + config.penalty_rate * sumQ
     return Lu, {"loss_unsup": Lu, "rms": rms, "penalty": sumQ}

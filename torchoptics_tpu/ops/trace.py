@@ -142,8 +142,9 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
 
     ``engine='unroll'`` statically unrolls the surface loop (single XLA
     fusion — the TPU fast path); ``'scan'`` uses ``lax.scan`` (compile-time
-    friendly for very long chains; spherical only, and requests with
-    ``aggregate`` stacks fall back to the unrolled path).
+    friendly for very long chains and for SPMD-partitioned CPU-mesh tests;
+    spherical and conic/asphere). Both engines support ``aggregate`` stacks
+    — the scan engine emits them as stacked scan ys.
     """
     n_surf = c.shape[-1]
     spherical = kappa is None and asph is None
@@ -200,32 +201,30 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
 
     state = (x, y, z, cx, cy, cz, ray_ok, ray_backward)
 
-    if engine == "scan" and not aggregate:
-        if not spherical:
-            raise NotImplementedError(
-                "engine='scan' currently supports spherical surfaces; use "
-                "'unroll' for conic/asphere chains")
-
+    scan_stacks = None
+    if engine == "scan":
         def scan_body(carry, xs):
-            ck, tk, muk, maskk, prev_maskk, first = xs
-            x, y, z, cx, cy, cz, ray_ok, ray_backward = carry
-            inter = surf.find_marching_distance_spherical(ck, x, y, z, cx, cy, cz)
-            x, y, z, delta_z = surf.update_ray_coordinates(x, y, z, cx, cy, cz,
-                                                           inter.distance)
-            ray_ok = ray_ok & ~inter.failures
-            x, y, z, cx, cy, cz = surf.reset_bad_rays(ray_ok, x, y, z, cx, cy, cz)
-            failures, cx, cy, cz, _ = surf.apply_snell_spherical(
-                ck, muk, x, y, cx, cy, inter.cos_theta)
-            mask_k = ray_ok & prev_maskk & ~first
-            went_backward = (delta_z < 0) & mask_k
-            if allow_backward_rays:
-                ray_backward = ray_backward | went_backward
+            if spherical:
+                ck, tk, muk, maskk, prev_maskk, first_k = xs
+                kapk = asphk = None
             else:
-                ray_ok = ray_ok & ~went_backward
-            ray_ok = ray_ok & ~failures
-            x, y, z, cx, cy, cz = surf.reset_bad_rays(ray_ok, x, y, z, cx, cy, cz)
-            z = z - tk
-            return (x, y, z, cx, cy, cz, ray_ok, ray_backward), None
+                ck, tk, muk, maskk, prev_maskk, first_k, kapk, asphk = xs
+            # prev_mask & ~first is all-False on the pupil -> first-surface
+            # leg, making the bookkeeping a no-op there — same semantics as
+            # the unrolled engine's prev_mask=None skip.
+            state, cos2_theta, cos2_prime = surface_step(
+                (ck, tk, muk, maskk, kapk, asphk), carry,
+                prev_maskk & ~first_k)
+            x, y, z, _cx, _cy, _cz, ray_ok, _bw = state
+            # Per-surface aggregate entries ride out as stacked scan ys —
+            # same post-step state/locals as the unrolled engine uses.
+            ys = tuple(
+                jnp.broadcast_to(x if name == "x" else y, full_shape)
+                if name in ("x", "y") else
+                _agg_entry(name, ray_ok, z, cos2_theta, cos2_prime,
+                           full_shape)
+                for name in aggregate) or None
+            return state, ys
 
         cs = jnp.moveaxis(c, -1, 0)
         ts = jnp.moveaxis(t, -1, 0)
@@ -234,8 +233,13 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
         prev_masks = jnp.concatenate((masks[:1], masks[:-1]), axis=0)
         first = jnp.zeros((n_surf,) + (1,) * (masks.ndim - 1),
                           dtype=bool).at[0].set(True)
-        state, _ = jax.lax.scan(scan_body, state,
-                                (cs, ts, mus, masks, prev_masks, first))
+        xs = (cs, ts, mus, masks, prev_masks, first)
+        if not spherical:
+            xs = xs + (jnp.moveaxis(kappa, -1, 0),
+                       jnp.moveaxis(asph, -2, 0))
+        state, ys = jax.lax.scan(scan_body, state, xs)
+        if aggregate:
+            scan_stacks = {name: ys[i] for i, name in enumerate(aggregate)}
     else:
         for k in range(n_surf):
             params = (
@@ -274,11 +278,14 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
 
     out_stacks = None
     if aggregate:
-        if "z" in stacks:
+        out_stacks = (scan_stacks if scan_stacks is not None
+                      else {k: jnp.stack(v, axis=0) for k, v in stacks.items()})
+        if "z" in out_stacks:
             # The TF engine also records the image-plane z (== 0 after
             # transfer, in image-plane frame): `ray_tracing.py:664`.
-            stacks["z"].append(jnp.broadcast_to(z + delta_z, full_shape))
-        out_stacks = {k: jnp.stack(v, axis=0) for k, v in stacks.items()}
+            out_stacks["z"] = jnp.concatenate(
+                (out_stacks["z"],
+                 jnp.broadcast_to(z + delta_z, full_shape)[None]), axis=0)
 
     return TraceResult(x, y, cx, cy, ray_ok, ray_backward, out_stacks)
 
@@ -312,27 +319,58 @@ def trace_rays(specs: Specs, lens: Lens, config: TraceConfig,
 
     Reference ``RayTracer.trace_rays`` (`ray_tracing_lite.py:80-127`).
 
-    ``config.engine='pallas'`` dispatches to the fused TPU kernels
-    (single-system, no vignetting/aggregate; spherical or conic/asphere);
-    other engines run the jnp path below.
+    ``config.engine='pallas'`` dispatches to the fused TPU kernels —
+    single-system spherical (``pallas_trace``), single-system conic/asphere
+    (``pallas_asphere``), population-batched spherical (``pallas_batch``),
+    or population-batched conic/asphere (``pallas_asphere``) — covering
+    vignetting, ray aiming, backward-ray removal, and padded / heterogeneous
+    structures. Unsupported requests raise instead of silently running
+    another engine: ``double_precision`` (kernels are f32) and ``aggregate``
+    stacks (use the fused penalty APIs or ``engine='unroll'``). Internal
+    sub-traces (``xy`` given, or
+    ``up_to_stop`` — the tiny stop-gradient ray-aiming solves) always run the
+    jnp engine below.
     """
-    if (config.engine == "pallas" and len(lens) == 1 and xy is None
-            and not up_to_stop and not aggregate
-            and config.vig_fn is None
-            and config.allow_backward_rays
-            and not config.double_precision):
+    internal = xy is not None or up_to_stop
+    if config.engine == "pallas" and not internal:
+        if config.double_precision:
+            raise NotImplementedError(
+                "engine='pallas' kernels are float32-only; use "
+                "engine='unroll' for double_precision traces")
+        if aggregate:
+            raise NotImplementedError(
+                "engine='pallas' does not materialize per-surface aggregate "
+                "stacks; the losses that consume them have fused variants "
+                "(pallas_trace.unsupervised_loss_fused, "
+                "pallas_batch.batched_unsupervised_loss, "
+                "simulator.do_ray_tracing/compute_losses with "
+                "trace_engine='pallas') — or use engine='unroll'")
+        if len(lens) == 1:
+            if lens.is_spherical:
+                from torchoptics_tpu.ops import pallas_trace
+                return pallas_trace.trace_rays_fused(
+                    specs, lens, config, key=key, use_vig=use_vig)
+            # conic/asphere path; absent terms default to zeros
+            from torchoptics_tpu.ops import pallas_asphere
+            lens_a = lens
+            if lens_a.kappa is None:
+                lens_a = lens_a.replace(kappa=jnp.zeros_like(lens_a.c))
+            if lens_a.asph is None:
+                lens_a = lens_a.replace(asph=jnp.zeros(lens_a.c.shape + (1,)))
+            return pallas_asphere.trace_rays_fused_asphere(
+                specs, lens_a, config, key=key, use_vig=use_vig)
         if lens.is_spherical:
-            from torchoptics_tpu.ops import pallas_trace
-            return pallas_trace.trace_rays_fused(specs, lens, config, key=key)
-        # conic/asphere path; absent terms default to zeros
+            from torchoptics_tpu.ops import pallas_batch
+            return pallas_batch.trace_rays_fused_batch(
+                specs, lens, config, key=key, use_vig=use_vig)
         from torchoptics_tpu.ops import pallas_asphere
         lens_a = lens
         if lens_a.kappa is None:
             lens_a = lens_a.replace(kappa=jnp.zeros_like(lens_a.c))
         if lens_a.asph is None:
             lens_a = lens_a.replace(asph=jnp.zeros(lens_a.c.shape + (1,)))
-        return pallas_asphere.trace_rays_fused_asphere(
-            specs, lens_a, config, key=key)
+        return pallas_asphere.trace_rays_fused_asphere_batch(
+            specs, lens_a, config, key=key, use_vig=use_vig)
     dtype = config.dtype
     if config.double_precision:
         specs = specs.astype(dtype)

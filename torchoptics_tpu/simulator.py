@@ -168,23 +168,73 @@ def compute_glass_penalty(structure: Structure, g: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def compute_loss_out(res: trace_mod.TraceResult, n_sequence: int,
+def compute_loss_out(res: trace_mod.TraceResult, n_sequence,
                      penalty_rate: float) -> Dict[str, jnp.ndarray]:
     """Unsupervised loss Lu = rms + rate * ΣQ with
     Q = (Σθ + Σθ' + Σrelu(z)) / n_surfaces, NaN→0
-    (`optics_simulator_lite.py:430-450`; the reference is single-system —
-    for batched lenses the spot term is the mean RMS over systems, matching
-    the batched kernel path). Requires the trace to have been run with
-    ``aggregate`` ⊇ AGG_TORCH."""
-    rms = jnp.mean(metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok))
+    (`optics_simulator_lite.py:430-450`). The reference is single-system;
+    batched lenses follow its per-sample semantics
+    (`optical_loss.py:105-111`): per-system Lu_i = rms_i + rate·ΣQ_i with
+    Q_i normalized by system i's own surface count, then the batch mean.
+
+    ``n_sequence`` is a scalar or a per-system (B,) array of surface counts
+    (pass ``lens.structure.n_surfaces`` for padded heterogeneous batches).
+    Requires the trace to have been run with ``aggregate`` ⊇ AGG_TORCH."""
+    rms_b = metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)  # (B,)
     stacks = res.stacks
+    n_seq = jnp.asarray(n_sequence, dtype=res.x.dtype)
+    if n_seq.ndim:  # per-system counts -> broadcast over (B, F, P, W)
+        n_seq = n_seq.reshape(-1, 1, 1, 1)
     Q = (jnp.sum(stacks["theta_norm"], axis=0)
          + jnp.sum(stacks["theta_prime_norm"], axis=0)
-         + jnp.sum(stacks["z_RELU"], axis=0)) / n_sequence
+         + jnp.sum(stacks["z_RELU"], axis=0)) / n_seq
     Q = jnp.where(jnp.isnan(Q), 0.0, Q)
-    sumQ = jnp.sum(Q)
-    Lu = rms + penalty_rate * sumQ
-    return {"loss_unsup": Lu, "rms": rms, "penalty": sumQ}
+    sumQ_b = jnp.sum(Q, axis=(1, 2, 3))                          # (B,)
+    Lu_b = rms_b + penalty_rate * sumQ_b
+    return {"loss_unsup": jnp.mean(Lu_b), "rms": jnp.mean(rms_b),
+            "penalty": jnp.mean(sumQ_b)}
+
+
+def _do_ray_tracing_fused(specs: Specs, lens: Lens, config: SimulatorConfig,
+                          key: Optional[jax.Array]):
+    """Fused (Pallas) form of ``do_ray_tracing``: the Lu penalty terms
+    accumulate in-kernel, so no per-surface stack touches HBM."""
+    cfg = config.trace_config()
+    if len(lens) == 1:
+        if lens.is_spherical:
+            from torchoptics_tpu.ops import pallas_trace
+            res, pens = pallas_trace.trace_rays_fused(
+                specs, lens, cfg, key=key, penalties=True)
+        else:
+            from torchoptics_tpu.ops import pallas_asphere
+            lens_a = lens
+            if lens_a.kappa is None:
+                lens_a = lens_a.replace(kappa=jnp.zeros_like(lens_a.c))
+            if lens_a.asph is None:
+                lens_a = lens_a.replace(asph=jnp.zeros(lens_a.c.shape + (1,)))
+            res, pens = pallas_asphere.trace_rays_fused_asphere(
+                specs, lens_a, cfg, key=key, penalties=True)
+    elif lens.is_spherical:
+        from torchoptics_tpu.ops import pallas_batch
+        res, pens = pallas_batch.trace_rays_fused_batch(
+            specs, lens, cfg, key=key, penalties=True)
+    else:
+        from torchoptics_tpu.ops import pallas_asphere
+        lens_a = lens
+        if lens_a.kappa is None:
+            lens_a = lens_a.replace(kappa=jnp.zeros_like(lens_a.c))
+        if lens_a.asph is None:
+            lens_a = lens_a.replace(asph=jnp.zeros(lens_a.c.shape + (1,)))
+        res, pens = pallas_asphere.trace_rays_fused_asphere_batch(
+            specs, lens_a, cfg, key=key, penalties=True)
+    pth, ptp, pz = pens
+    rms_b = metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)      # (B,)
+    n_seq = jnp.asarray(lens.structure.n_surfaces, dtype=rms_b.dtype)
+    sumQ_b = (jnp.sum(pth, axis=(1, 2, 3)) + jnp.sum(ptp, axis=(1, 2, 3))
+              + jnp.sum(pz, axis=(1, 2, 3))) / n_seq
+    Lu_b = rms_b + config.penalty_rate * sumQ_b
+    return res, {"loss_unsup": jnp.mean(Lu_b), "rms": jnp.mean(rms_b),
+                 "penalty": jnp.mean(sumQ_b)}
 
 
 def do_ray_tracing(specs: Specs, lens: Lens, config: SimulatorConfig,
@@ -192,11 +242,22 @@ def do_ray_tracing(specs: Specs, lens: Lens, config: SimulatorConfig,
                    aggregate: Tuple[str, ...] = trace_mod.AGG_TORCH,
                    ) -> Tuple[trace_mod.TraceResult, Dict[str, jnp.ndarray]]:
     """Run the raw trace and the unsupervised loss
-    (`optics_simulator_lite.py:456-504`)."""
+    (`optics_simulator_lite.py:456-504`).
+
+    With ``config.trace_engine='pallas'`` the loss comes from the fused
+    kernels' in-kernel penalty accumulators (``TraceResult.stacks`` is None);
+    requesting non-default aggregates with the fused engine raises."""
     cfg = config.trace_config()
+    if cfg.engine == "pallas":
+        if tuple(aggregate) != trace_mod.AGG_TORCH:
+            raise NotImplementedError(
+                "trace_engine='pallas' computes the default Lu penalties "
+                "in-kernel; custom aggregate stacks need "
+                "trace_engine='unroll'")
+        return _do_ray_tracing_fused(specs, lens, config, key)
     res = trace_mod.trace_rays(specs, lens, cfg, key=key, aggregate=aggregate)
-    n_sequence = len(lens.structure.sequence[0])
-    loss_dict = compute_loss_out(res, n_sequence, config.penalty_rate)
+    loss_dict = compute_loss_out(res, lens.structure.n_surfaces,
+                                 config.penalty_rate)
     return res, loss_dict
 
 
@@ -209,13 +270,23 @@ def compute_losses(specs: Specs, lens: Lens, config: SimulatorConfig,
     (the reference's intended ``compute_losses``,
     `optics_simulator_lite.py:411-428` + `get_losses` `:452-454`).
 
-    Returns (total_loss, loss_dict).
+    Returns (total_loss, loss_dict). ``config.trace_engine='pallas'``
+    dispatches to the fully fused kernel variant
+    (``pallas_trace.compute_losses_fused`` — single spherical system).
     """
     cfg = config.trace_config()
+    if cfg.engine == "pallas":
+        if len(lens) == 1 and lens.is_spherical:
+            from torchoptics_tpu.ops import pallas_trace
+            return pallas_trace.compute_losses_fused(
+                specs, lens, config, g=g, catalog_g=catalog_g, key=key)
+        raise NotImplementedError(
+            "fused compute_losses covers single spherical systems; use "
+            "trace_engine='unroll' for batches or aspheres")
     res = trace_mod.trace_rays(
         specs, lens, cfg, key=key,
         aggregate=("z", "cos2", "cos2_prime") + trace_mod.AGG_TORCH)
-    loss_dict = compute_loss_out(res, len(lens.structure.sequence[0]),
+    loss_dict = compute_loss_out(res, lens.structure.n_surfaces,
                                  config.penalty_rate)
     loss_dict["spot_size"] = jnp.mean(
         metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok))
