@@ -58,6 +58,82 @@ def test_shard_map_rms_matches_reference_reduction():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
 
 
+def _tiled_population(name, n_pop, perturb=0.0, seed=0):
+    from torchoptics_tpu.models.structure import Lens, Specs, Structure
+    p = zoo.get_prescription(name)
+    base_specs, base_lens = zoo.build(name)
+    st = Structure(tuple(p["stop_idx"] * n_pop), tuple(p["sequence"] * n_pop))
+    rng = np.random.default_rng(seed)
+
+    def tile(v):
+        a = np.tile(np.asarray(v, np.float32)[None, 0], (n_pop, 1))
+        if perturb:
+            a = a * (1.0 + perturb * rng.standard_normal(a.shape)
+                     ).astype(np.float32)
+        return jnp.asarray(a)
+
+    lens = Lens(st, tile(base_lens.c), tile(base_lens.t),
+                tile(base_lens.nd), tile(base_lens.v))
+    specs = Specs(st, jnp.tile(base_specs.epd, n_pop),
+                  jnp.tile(base_specs.hfov, n_pop))
+    return specs, lens
+
+
+def test_sharded_train_step_matches_lens_optimizer():
+    """The multi-chip training step must be the SAME optimization as the
+    single-chip LensOptimizer — same trainable set (c, t, g), same loss,
+    same Adam update — differing only by reduction order (VERDICT r1 #8)."""
+    from torchoptics_tpu import optimize as opt_mod
+
+    specs, lens = _tiled_population("cooke", n_pop=4, perturb=0.02)
+    # trace_engine='scan': XLA:CPU's SPMD partitioner takes ~25 min to
+    # compile the fully *unrolled* fwd+bwd step over the 8-device virtual
+    # mesh (the TPU backend doesn't have this pathology); the scan engine
+    # compiles the surface body once and finishes in seconds.
+    config = sim.SimulatorConfig(
+        n_sampled_fields=3, n_pupil_rings=4, pupil_sampling="circular",
+        n_ray_aiming_iter=1, wavelengths=(459.0, 520.0, 640.0),
+        trace_engine="scan")
+
+    mesh = mesh_mod.make_mesh(lens_parallel=2)
+    opt_sharded, init_fn, step_fn = shard_mod.make_sharded_train_step(
+        specs, config, mesh, learning_rate=1e-3)
+    state_sh = init_fn(lens)
+    assert set(state_sh.params) == {"c", "t", "g"}
+    # The population parameter tables really are sharded over 'lens'.
+    assert "lens" in str(state_sh.params["t"].sharding.spec)
+    state_sh, loss_sh, _ = step_fn(state_sh, None)
+
+    opt_single = opt_mod.LensOptimizer(specs, config, learning_rate=1e-3)
+    state_si = opt_single.init(lens)
+    state_si, loss_si, _ = opt_single.step(state_si, None)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_si), rtol=1e-5)
+    for k in state_si.params:
+        np.testing.assert_allclose(
+            np.asarray(state_sh.params[k]), np.asarray(state_si.params[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_sharded_train_step_trains_kappa_asph():
+    """Aspherized populations expose kappa/asph in the sharded step too."""
+    specs, lens = _tiled_population("cooke", n_pop=2)
+    lens = lens.replace(kappa=jnp.zeros_like(lens.c),
+                        asph=jnp.zeros(lens.c.shape + (2,)))
+    config = sim.SimulatorConfig(
+        n_sampled_fields=2, n_pupil_rings=3, pupil_sampling="circular",
+        n_ray_aiming_iter=0, wavelengths=(520.0,), trace_engine="scan")
+    mesh = mesh_mod.make_mesh(lens_parallel=2)
+    _, init_fn, step_fn = shard_mod.make_sharded_train_step(
+        specs, config, mesh, trainable=("c", "t", "g", "kappa", "asph"))
+    state = init_fn(lens)
+    assert {"kappa", "asph"} <= set(state.params)
+    state, loss, _ = step_fn(state, None)
+    assert np.isfinite(float(loss))
+    for k in ("kappa", "asph"):
+        assert np.all(np.isfinite(np.asarray(state.params[k])))
+
+
 def test_graft_dryrun_multichip():
     import sys
     sys.path.insert(0, "/root/repo")

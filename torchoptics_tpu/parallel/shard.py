@@ -19,7 +19,6 @@ explicitness/verification (:func:`shard_map_mean_rms`).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -28,7 +27,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from torchoptics_tpu.models.structure import Lens, Specs
-from torchoptics_tpu.ops import metrics as metrics_mod
 from torchoptics_tpu.ops import pupil as pupil_mod
 from torchoptics_tpu.ops import trace as trace_mod
 from torchoptics_tpu.parallel import mesh as mesh_mod
@@ -106,52 +104,48 @@ def shard_map_mean_rms(x: jnp.ndarray, y: jnp.ndarray, ray_ok: jnp.ndarray,
 
 
 def make_sharded_train_step(specs: Specs, config: sim_mod.SimulatorConfig,
-                            mesh: Mesh, learning_rate: float = 1e-3):
-    """Build (init_fn, step_fn) for sharded lens-population optimization.
+                            mesh: Mesh, learning_rate: float = 1e-3,
+                            trainable: Tuple[str, ...] = ("c", "t", "g"),
+                            use_full_loss: bool = False,
+                            add_bfl: bool = True,
+                            qc_variables: bool = True):
+    """Build ``(optimizer, init_fn, step_fn)`` for sharded lens-population
+    optimization.
 
-    ``step_fn(params_pytree, opt_state, key)`` computes the unsupervised loss
-    summed over the population and applies one Adam update; lens parameter
-    tables are sharded over ``lens`` (population data parallelism), the
-    traced ray block over ``rays``.
+    The step IS the single-chip :class:`~torchoptics_tpu.optimize.LensOptimizer`
+    step — same normalized trainable variables (``c``, ``t``, whitened glass
+    ``g``, plus ``kappa``/``asph`` when the lens carries them), same
+    quantized-continuous glass, same Adam update — jitted with the population
+    parameters sharded over the mesh's ``lens`` axis. GSPMD partitions the
+    trace (zero communication in the elementwise body) and all-reduces the
+    loss/gradients over ICI. Multi-chip training is therefore *identical* to
+    single-chip training up to reduction order.
+
+    ``step_fn(state, key) -> (state, total_loss, loss_dict)``.
     """
-    import optax
-    optimizer = optax.adam(learning_rate)
-    lens_shard = mesh_mod.lens_sharding(mesh)
+    from torchoptics_tpu import optimize as opt_mod
 
-    def place(lens: Lens) -> Lens:
-        put = lambda a: None if a is None else jax.device_put(a, lens_shard)
-        return Lens(lens.structure, put(lens.c), put(lens.t), put(lens.nd),
-                    put(lens.v),
-                    kappa=put(lens.kappa),
-                    asph=None if lens.asph is None else jax.device_put(
-                        lens.asph, NamedSharding(
-                            mesh, P(mesh_mod.LENS_AXIS, None, None))))
+    opt = opt_mod.LensOptimizer(
+        specs, config, learning_rate=learning_rate, add_bfl=add_bfl,
+        qc_variables=qc_variables, use_full_loss=use_full_loss,
+        trainable=trainable)
+
+    n_lens = mesh.shape[mesh_mod.LENS_AXIS]
+
+    def place_leading(a):
+        """Shard a pytree leaf's leading axis over 'lens' when it tiles the
+        population evenly; replicate otherwise (scalars, catalogs, Adam
+        counters)."""
+        a = jnp.asarray(a)
+        if a.ndim >= 1 and a.shape[0] % n_lens == 0 and a.shape[0] > 0:
+            spec = P(mesh_mod.LENS_AXIS, *([None] * (a.ndim - 1)))
+        else:
+            spec = P(*([None] * a.ndim))
+        return jax.device_put(a, NamedSharding(mesh, spec))
 
     def init_fn(lens: Lens):
-        lens = place(lens)
-        params = {"c": lens.c, "t": lens.t}
-        return lens, params, optimizer.init(params)
+        state = opt.init(lens)
+        return jax.tree_util.tree_map(place_leading, state)
 
-    def loss_fn(params, lens: Lens, key):
-        lens = lens.replace(c=params["c"], t=params["t"])
-        cfg = config.trace_config()
-        res = trace_mod.trace_rays(specs, lens, cfg, key=key,
-                                   aggregate=trace_mod.AGG_TORCH)
-        rms = metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)
-        n_sequence = len(lens.structure.sequence[0])
-        Q = (jnp.sum(res.stacks["theta_norm"], axis=0)
-             + jnp.sum(res.stacks["theta_prime_norm"], axis=0)
-             + jnp.sum(res.stacks["z_RELU"], axis=0)) / n_sequence
-        Q = jnp.where(jnp.isnan(Q), 0.0, Q)
-        # Population mean: reduces over the 'lens'-sharded batch (psum).
-        loss = jnp.mean(rms) + config.penalty_rate * jnp.sum(Q) / rms.shape[0]
-        return loss
-
-    @partial(jax.jit, donate_argnums=(0, 2))
-    def step_fn(params, lens, opt_state, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, lens, key)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return init_fn, step_fn
+    step_fn = jax.jit(opt._step_impl)
+    return opt, init_fn, step_fn
