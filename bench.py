@@ -2,17 +2,21 @@
 6-element double-Gauss (fwd+bwd), per chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-The baseline target (BASELINE.json north star) is 100e6 differentiable
-ray-surface intersections/s/chip; the reference publishes no numbers
-(BASELINE.md), so vs_baseline is measured/target.
+Protocol (hardened r2): every timing is min/median/max/spread over 5 reps of
+10 iterations; two ray scales (442k and 2.46M) so regressions are detectable
+through the ±50% session-to-session relay variance (RESULTS.md); a measured
+forward-only ceiling and estimated-FLOP effective throughput give a
+roofline-style fraction; the imaging pipeline (BASELINE config 5) gets its
+own row. The baseline target (BASELINE.json north star) is 100e6
+differentiable ray-surface intersections/s/chip; the reference publishes no
+numbers (BASELINE.md), so vs_baseline is measured/target.
 """
 
 import json
 import os
 import sys
-import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
@@ -23,6 +27,14 @@ import numpy as np
 
 TARGET_INTERSECTIONS_PER_SEC = 100e6
 
+# Hand-counted FLOPs per ray-surface intersection in the fused kernels
+# (ops/pallas_trace.py): ~60 for one _fwd_surface evaluation; the backward
+# kernel re-runs the forward and applies the adjoint chain (~110), so a
+# fwd+bwd step costs ~230 per intersection. Estimates (documented, stable
+# across rounds) — used only to express measured time as effective GFLOP/s.
+FLOPS_FWD = 60.0
+FLOPS_FWDBWD = 230.0
+
 
 def _ensure_backend():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -30,36 +42,24 @@ def _ensure_backend():
     ensure_backend()
 
 
-def _time_step(step, args, n_iter=10, reps=3):
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from torchoptics_tpu.utils.timing import time_step
-    return time_step(step, args, n_iter=n_iter, reps=reps)
+def _stats(step, args, n_iter=10, reps=5):
+    from torchoptics_tpu.utils.timing import time_step_stats
+    return time_step_stats(step, args, n_iter=n_iter, reps=reps)
 
 
-def main():
-    _ensure_backend()
-    from torchoptics_tpu.models import zoo
+def _trace_workload(specs, lens, n_fields, rings, rows, on_tpu):
+    """Time d(spot RMS)/d(c,t) at one ray scale; returns the extras dict."""
     from torchoptics_tpu.ops import metrics as metrics_mod
     from torchoptics_tpu.ops import pallas_trace as pallas_mod
     from torchoptics_tpu.ops import trace as trace_mod
 
-    specs, lens = zoo.build("double_gauss")
     n_surfaces = int(lens.structure.n_surfaces[0])
-
-    # Dense pupil grid: 32 fields x 160^2 rays x 3 wavelengths = 2.46M rays
-    # (throughput keeps rising with ray count as fixed overheads amortize).
-    n_fields = 32
-    rings = 160
-    rows = 64
     cfg = trace_mod.TraceConfig(
         mode="circular", n_rays=(rings, rings),
         rel_fields=tuple(float(f) for f in np.linspace(0, 1, n_fields)),
         wavelengths=(459.0, 520.0, 640.0),
         n_ray_aiming_iter=1)
-    n_rays_total = (len(cfg.rel_fields) * rings * rings
-                    * len(cfg.wavelengths))
-
-    on_tpu = jax.default_backend() == "tpu"
+    n_rays = len(cfg.rel_fields) * rings * rings * len(cfg.wavelengths)
 
     def loss_xla(c, t):
         res = trace_mod.trace_rays(specs, lens.replace(c=c, t=t), cfg)
@@ -70,28 +70,60 @@ def main():
                                           rows=rows)
         return metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)[0]
 
-    best_xla = _time_step(
-        jax.jit(jax.value_and_grad(loss_xla, argnums=(0, 1))),
-        (lens.c, lens.t))
-    best = best_xla
-    best_pallas = None
+    out = {"rays": n_rays, "surfaces": n_surfaces}
+    s_xla = _stats(jax.jit(jax.value_and_grad(loss_xla, argnums=(0, 1))),
+                   (lens.c, lens.t))
+    out["xla_fwdbwd"] = s_xla
+    best = s_xla["min"]
     if on_tpu:
-        best_pallas = _time_step(
-            jax.jit(jax.value_and_grad(loss_pallas, argnums=(0, 1))),
-            (lens.c, lens.t))
-        best = min(best, best_pallas)
+        s_p = _stats(jax.jit(jax.value_and_grad(loss_pallas, argnums=(0, 1))),
+                     (lens.c, lens.t))
+        out["pallas_fwdbwd"] = s_p
+        # Forward-only = the measured compute ceiling of the same VPU code.
+        s_f = _stats(jax.jit(loss_pallas), (lens.c, lens.t))
+        out["pallas_fwd_only"] = s_f
+        best = min(best, s_p["min"])
+        gflops_fwd = n_rays * n_surfaces * FLOPS_FWD / s_f["min"] / 1e9
+        gflops_fb = n_rays * n_surfaces * FLOPS_FWDBWD / s_p["min"] / 1e9
+        out["effective_gflops_fwd_only"] = gflops_fwd
+        out["effective_gflops_fwdbwd"] = gflops_fb
+        # Backward-pass overhead vs the forward-only ceiling measured on the
+        # same chip in the same session (immune to relay variance): the
+        # stash-locals backward does ~(230-60)/60 ≈ 2.8x the forward's
+        # arithmetic, so a ratio well under 3.8 means the bwd kernel runs
+        # closer to the VPU roofline than the naive FLOP count predicts.
+        out["fwdbwd_over_fwd_time_ratio"] = s_p["min"] / s_f["min"]
+    out["intersections_per_sec"] = n_rays * n_surfaces / best
+    out["step_ms_best"] = best * 1e3
+    return out
 
-    # Second BASELINE metric: full lens-optimization step (unsupervised
-    # objective Lu = rms + rate*sumQ, fwd+bwd) at the same ray count.
+
+def main():
+    _ensure_backend()
+    from torchoptics_tpu.models import zoo
+    from torchoptics_tpu.ops import pallas_trace as pallas_mod
     import torchoptics_tpu.simulator as sim_mod
+    from torchoptics_tpu import imaging
+    from torchoptics_tpu.utils import images as img_util
+
+    specs, lens = zoo.build("double_gauss")
+    n_surfaces = int(lens.structure.n_surfaces[0])
+    on_tpu = jax.default_backend() == "tpu"
+
+    # Two ray scales: medium (16 x 96^2 x 3 = 442k) and large
+    # (32 x 160^2 x 3 = 2.46M) — fixed across rounds for comparability.
+    medium = _trace_workload(specs, lens, 16, 96, 32, on_tpu)
+    large = _trace_workload(specs, lens, 32, 160, 64, on_tpu)
+
+    # Lens-optimization step: full unsupervised objective Lu (fwd+bwd).
     sim_cfg = sim_mod.SimulatorConfig(
-        n_sampled_fields=n_fields, n_pupil_rings=rings,
+        n_sampled_fields=32, n_pupil_rings=160,
         pupil_sampling="circular", n_ray_aiming_iter=1,
         wavelengths=(459.0, 520.0, 640.0))
 
     def lu_pallas(c, t):
         Lu, _ = pallas_mod.unsupervised_loss_fused(
-            specs, lens.replace(c=c, t=t), sim_cfg, rows=rows)
+            specs, lens.replace(c=c, t=t), sim_cfg, rows=64)
         return Lu
 
     def lu_xla(c, t):
@@ -99,13 +131,25 @@ def main():
                                        sim_cfg)
         return ld["loss_unsup"]
 
-    lu_fn = lu_pallas if on_tpu else lu_xla
-    best_lu = _time_step(
-        jax.jit(jax.value_and_grad(lu_fn, argnums=(0, 1))),
+    lu_stats = _stats(
+        jax.jit(jax.value_and_grad(lu_pallas if on_tpu else lu_xla,
+                                   argnums=(0, 1))),
         (lens.c, lens.t))
 
-    rays_per_sec = n_rays_total / best
-    intersections_per_sec = rays_per_sec * n_surfaces
+    # Imaging pipeline (BASELINE config 5): PSF render + SVOLA + warp on a
+    # real 256x256 photograph.
+    img_cfg = sim_mod.SimulatorConfig(
+        n_sampled_fields=9, n_pupil_rings=24, pupil_sampling="circular",
+        n_ray_aiming_iter=1, psf_shape=(33, 33), psf_abs_pixel_size=4e-3,
+        psf_grid_shape=(5, 5))
+    radiance = jnp.asarray(
+        img_util.load_test_image((256, 256), prefer_real=True)[None])
+    render = jax.jit(
+        lambda l, r: imaging.simulate(specs, l, r, img_cfg)[0])
+    img_stats = _stats(render, (lens, radiance), n_iter=5, reps=5)
+
+    best = large["step_ms_best"] / 1e3
+    intersections_per_sec = large["intersections_per_sec"]
 
     result = {
         "metric": "diff_ray_surface_intersections_per_sec_fwdbwd_double_gauss",
@@ -113,14 +157,19 @@ def main():
         "unit": "intersections/s/chip",
         "vs_baseline": intersections_per_sec / TARGET_INTERSECTIONS_PER_SEC,
         "extra": {
+            "protocol": "min/median/max/spread over 5 reps x 10 iters",
+            "workload_442k": medium,
+            "workload_2.46M": large,
+            "lens_opt_step_fwdbwd": lu_stats,
+            "imaging_256px_config5": {
+                **img_stats,
+                "ms_per_frame": img_stats["min"] * 1e3,
+                "frames_per_sec": 1.0 / img_stats["min"],
+            },
+            "flops_per_intersection": {"fwd": FLOPS_FWD,
+                                       "fwdbwd": FLOPS_FWDBWD},
             "step_time_ms": best * 1e3,
-            "step_time_ms_xla": best_xla * 1e3,
-            "step_time_ms_pallas": (None if best_pallas is None
-                                    else best_pallas * 1e3),
-            "lens_opt_step_ms": best_lu * 1e3,
-            "rays_per_step": n_rays_total,
             "surfaces": n_surfaces,
-            "rays_per_sec": rays_per_sec,
             "device": str(jax.devices()[0]),
         },
     }

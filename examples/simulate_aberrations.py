@@ -26,20 +26,10 @@ import numpy as np
 
 def synthetic_test_image(h: int = 128, w: int = 128) -> np.ndarray:
     """A procedural resolution chart (radial spokes + edges + color patches),
-    standing in for the reference's `data/sample_image.png` asset."""
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    cy, cx = (h - 1) / 2, (w - 1) / 2
-    r = np.hypot(yy - cy, xx - cx)
-    theta = np.arctan2(yy - cy, xx - cx)
-    spokes = (np.sin(theta * 24) > 0).astype(np.float32)
-    rings = (np.sin(r / 4.0) > 0).astype(np.float32)
-    img = np.where(r < min(h, w) / 4, spokes, rings)
-    rgb = np.stack([img, np.roll(img, h // 8, 0), np.roll(img, w // 8, 1)],
-                   axis=-1)
-    rgb[: h // 8, : w // 8] = [1, 0, 0]
-    rgb[: h // 8, -w // 8:] = [0, 1, 0]
-    rgb[-h // 8:, : w // 8] = [0, 0, 1]
-    return (rgb * 255).astype(np.float32)
+    standing in for the reference's `data/sample_image.png` asset.
+    Kept as an alias; the implementation lives in ``utils.images``."""
+    from torchoptics_tpu.utils.images import synthetic_test_image as impl
+    return impl(h, w)
 
 
 def main():
@@ -51,7 +41,11 @@ def main():
     ap.add_argument("--lens-yaml", default=None,
                     help="YAML prescription path (overrides --lens)")
     ap.add_argument("--image", default=None,
-                    help="input image path (default: synthetic chart)")
+                    help="input image path, or 'real' for the bundled "
+                         "photograph, or 'chart' for the synthetic chart "
+                         "(default: real photo when available, else chart)")
+    ap.add_argument("--image-size", type=int, default=128,
+                    help="side length for the bundled images")
     ap.add_argument("--output", default="aberrated.png")
     ap.add_argument("--fields", type=int, default=9)
     ap.add_argument("--rings", type=int, default=16)
@@ -75,7 +69,13 @@ def main():
     else:
         specs, lens = zoo.build(args.lens)
 
-    if args.image:
+    from torchoptics_tpu.utils import images as img_util
+    hw = (args.image_size, args.image_size)
+    if args.image in (None, "real"):
+        radiance = img_util.load_test_image(hw, prefer_real=True)[None]
+    elif args.image == "chart":
+        radiance = img_util.synthetic_test_image(*hw)[None]
+    else:
         import matplotlib.image as mpimg
         radiance = mpimg.imread(args.image).astype(np.float32)
         if radiance.max() <= 1.0:
@@ -83,8 +83,6 @@ def main():
         if radiance.ndim == 2:  # grayscale -> replicate to RGB
             radiance = np.repeat(radiance[..., None], 3, axis=-1)
         radiance = radiance[..., :3][None]
-    else:
-        radiance = synthetic_test_image()[None]
 
     config = sim.SimulatorConfig(
         n_sampled_fields=args.fields, n_pupil_rings=args.rings,

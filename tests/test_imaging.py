@@ -92,3 +92,29 @@ def test_sample_optics_model_paraxial_centering():
     assert model.sampled_distortion_shifts is None
     sums = np.asarray(jnp.sum(model.sampled_psfs, axis=(1, 2)))
     np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
+
+
+def test_real_photo_render():
+    """Natural-image render demo (the reference ships data/sample_image.png
+    for this purpose, `optics_simulator_lite.py:272-343` intent): a real
+    photograph renders finite, degrades PSNR under stronger aberration, and
+    an aberrated render differs from the ideal image."""
+    from torchoptics_tpu.utils import images as img_util
+
+    radiance = img_util.load_test_image((64, 64), prefer_real=True)[None]
+    assert radiance.shape == (1, 64, 64, 3)
+    # It really is a photograph, not a binary chart: many distinct levels.
+    assert len(np.unique(radiance.astype(np.uint8))) > 64
+
+    specs, lens = zoo.build("cooke")
+    irr, psnr, ssim = imaging.simulate(specs, lens, jnp.asarray(radiance),
+                                       CFG)
+    assert np.all(np.isfinite(np.asarray(irr)))
+    assert np.isfinite(float(psnr[0])) and 5.0 < float(psnr[0]) < 60.0
+    assert not np.allclose(np.asarray(irr), radiance)
+
+    # A strongly defocused lens must render a visibly worse image.
+    lens_bad = lens.replace(t=lens.t.at[0, -1].add(0.6))
+    _, psnr_bad, _ = imaging.simulate(specs, lens_bad, jnp.asarray(radiance),
+                                      CFG)
+    assert float(psnr_bad[0]) < float(psnr[0])
