@@ -712,7 +712,7 @@ trace_fused_asphere.defvjp(_fused_fwd_a, _fused_bwd_a)
 # so an aspherized generator *population* traces fwd+bwd in one launch.
 # ---------------------------------------------------------------------------
 
-BATCH_ROWS = 8
+BATCH_ROWS = None  # None -> auto (pallas_batch.auto_rows)
 
 
 class _RefView:
@@ -944,8 +944,10 @@ def trace_fused_asphere_batch(xp, yp, cy, z0, c, kappa, t, mu, asph,
 def _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
                 n_iter, allow_backward, mask):
     from torchoptics_tpu.ops.pallas_batch import (
-        _mask_array, _prep, _specs_common)
+        _mask_array, _prep, _specs_common, auto_rows)
     B, n = xp.shape
+    if rows is None:
+        rows = auto_rows(n)
     n_surf = c.shape[1]
     w = mu.shape[2]
     n_asph = asph.shape[2]
@@ -994,7 +996,7 @@ def _fused_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
 def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask,
                   residuals, cotangents):
     from torchoptics_tpu.ops.pallas_batch import (
-        _mask_array, _prep, _specs_common)
+        _mask_array, _prep, _specs_common, auto_rows)
     xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
     if penalties:
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
@@ -1003,6 +1005,8 @@ def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask,
         dpth = dptp = dpz = None
 
     B, n = xp.shape
+    if rows is None:
+        rows = auto_rows(n)
     n_surf = c.shape[1]
     w = mu.shape[2]
     n_asph = asph.shape[2]
@@ -1067,7 +1071,7 @@ trace_fused_asphere_batch.defvjp(_fused_fwd_ab, _fused_bwd_ab)
 
 def trace_rays_fused_asphere_batch(specs, lens, config,
                                    key: Optional[jax.Array] = None,
-                                   xy=None, rows: int = BATCH_ROWS,
+                                   xy=None, rows=BATCH_ROWS,
                                    penalties: bool = False,
                                    use_vig: bool = True):
     """``trace_rays`` on the batched asphere kernel (B ≥ 1 conic/asphere

@@ -28,7 +28,18 @@ from torchoptics_tpu.ops.pallas_trace import (
     LANES, _LOC_BOOL, _LOC_F32, _N_LOC_BOOL, _N_LOC_F32, _bwd_surface,
     _fwd_surface, _kill_backward, _theta_norm, _theta_norm_adjoint)
 
-DEFAULT_ROWS = 8  # rows per tile per system: 8*128 = 1024 rays
+DEFAULT_ROWS = None  # None -> auto: one exact tile per system when it fits
+
+
+def auto_rows(n: int) -> int:
+    """Tile rows for an N-rays-per-system batch. A single whole tile per
+    system (block dims == array dims, so Mosaic accepts non-8-multiples)
+    avoids tile-padding waste and per-tile overhead — measured 1.24x over
+    rows=8 on the reference generator workload (1536 rays/system). Beyond
+    the VMEM budget of the stash-locals backward, fall back to 8-row
+    multi-tiling."""
+    rps = max(1, math.ceil(n / LANES))
+    return rps if rps <= 64 else 8
 
 
 def _widx_batch(i, rows, w):
@@ -210,9 +221,11 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward,
             dcx = jnp.where(kill, 0.0, dcx)
             dcy = jnp.where(kill, 0.0, dcy)
             dcz = jnp.where(kill, 0.0, dcz)
-        (dx, dy, dz, dcx, dcy, dcz), dc_k, dt_k, dmu_ray = _bwd_surface(
+        (dx, dy, dz, dcx, dcy, dcz), dc_ray, dt_ray, dmu_ray = _bwd_surface(
             c_ref[0, 0, k], t_ref[0, 0, k], mu, pre, loc,
             (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra)
+        dc_k = jnp.sum(dc_ray)
+        dt_k = jnp.sum(dt_ray)
         if dt_kill is not None:
             dt_k = dt_k + dt_kill
         dc_out[0, 0, k] += dc_k
@@ -285,6 +298,8 @@ def _specs_common(rows, n_surf, w, n_rows):
 def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
                mask):
     B, n = xp.shape
+    if rows is None:
+        rows = auto_rows(n)
     n_surf = c.shape[1]
     w = mu.shape[2]
     xp2 = _prep(xp.astype(jnp.float32), rows)
@@ -335,6 +350,8 @@ def _fused_bwd_b(rows, penalties, allow_backward, mask, residuals,
         dpth = dptp = dpz = None
 
     B, n = xp.shape
+    if rows is None:
+        rows = auto_rows(n)
     n_surf = c.shape[1]
     w = mu.shape[2]
     prep = lambda a: _prep(a.astype(jnp.float32), rows)
@@ -452,7 +469,7 @@ def prepare_fused_inputs_batch(specs, lens, cfg, key=None, xy=None,
 
 def trace_rays_fused_batch(specs, lens, config,
                            key: Optional[jax.Array] = None,
-                           xy=None, rows: int = DEFAULT_ROWS,
+                           xy=None, rows=DEFAULT_ROWS,
                            penalties: bool = False, use_vig: bool = True):
     """``trace_rays`` on the fused batch kernel (B ≥ 1, spherical;
     heterogeneous padded structures supported via static per-system masks).
@@ -480,7 +497,7 @@ def trace_rays_fused_batch(specs, lens, config,
 
 def batched_unsupervised_loss(specs, lens, config,
                               key: Optional[jax.Array] = None,
-                              rows: int = DEFAULT_ROWS):
+                              rows=DEFAULT_ROWS):
     """Unsupervised loss Lu for a whole lens population in one fused launch.
 
     This is the TPU-native form of the reference's generator-training loss

@@ -109,7 +109,10 @@ def _bwd_surface(c, t, mu, pre, loc, d, dcos2_extra=None, dcos2p_extra=None):
     ``loc`` = recomputed locals, ``d`` = (dxD, dyD, dzD, dcxD, dcyD, dczD);
     ``dcos2*_extra`` inject penalty-term cotangents on the raw cos² locals.
 
-    Returns (d_pre_state, dc_k, dt_k, dmu_ray)."""
+    Returns (d_pre_state, dc_ray, dt_ray, dmu_ray) — the parameter
+    cotangents are PER-RAY contributions; the caller reduces them over the
+    axes its parameter granularity requires (whole tile for single-system
+    kernels, per-row for the packed population kernel)."""
     x, y, z, cx, cy, cz, ok = pre
     dxD, dyD, dzD, dcxD, dcyD, dczD = d
     ok1 = loc["ok1"]
@@ -120,7 +123,7 @@ def _bwd_surface(c, t, mu, pre, loc, d, dcos2_extra=None, dcos2p_extra=None):
     xB, yB, cxB, cyB = loc["xB"], loc["yB"], loc["cxB"], loc["cyB"]
     cxC, cyC, czC = loc["cxC"], loc["cyC"], loc["czC"]
 
-    dt_k = -jnp.sum(dzD)  # z_next = zD - t
+    dt_ray = -dzD  # z_next = zD - t
 
     dczC = jnp.where(ok2, dczD, 0.0)
     dcz2 = jnp.where(loc["fail2"], 0.0, dczC / (2.0 * czC))
@@ -203,7 +206,7 @@ def _bwd_surface(c, t, mu, pre, loc, d, dcos2_extra=None, dcos2p_extra=None):
     dcy = dcy - de * y
     dcz = dcz - de * z
 
-    return (dx, dy, dz, dcx, dcy, dcz), jnp.sum(dc_ray), dt_k, dmu_ray
+    return (dx, dy, dz, dcx, dcy, dcz), dc_ray, dt_ray, dmu_ray
 
 
 _EPS_CLIP = 1e-7
@@ -544,12 +547,13 @@ def _bwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
             dcx = jnp.where(kill, 0.0, dcx)
             dcy = jnp.where(kill, 0.0, dcy)
             dcz = jnp.where(kill, 0.0, dcz)
-        (dx, dy, dz, dcx, dcy, dcz), dc_k, dt_k, dmu_ray = _bwd_surface(
+        (dx, dy, dz, dcx, dcy, dcz), dc_ray, dt_ray, dmu_ray = _bwd_surface(
             c_ref[k], t_ref[k], mu, pre, loc, (dx, dy, dz, dcx, dcy, dcz),
             dcos2_extra, dcos2p_extra)
+        dt_k = jnp.sum(dt_ray)
         if dt_kill is not None:
             dt_k = dt_k + dt_kill
-        dc_out[0, k] += dc_k
+        dc_out[0, k] += jnp.sum(dc_ray)
         dt_out[0, k] += dt_k
         for wi in range(w):
             dmu_out[0, k, wi] += jnp.sum(
