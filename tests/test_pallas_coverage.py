@@ -242,6 +242,65 @@ def test_fused_compute_losses_parity():
                                    atol=5e-4, err_msg=name)
 
 
+def test_fused_compute_losses_batched_parity():
+    """compute_losses(trace_engine='pallas') on a homogeneous POPULATION —
+    the full weighted loss fused in-kernel per system — matches the XLA
+    stacks path in value and gradient."""
+    from torchoptics_tpu import simulator as sim_mod
+    from torchoptics_tpu.models import glass as glass_mod
+    from torchoptics_tpu.models.structure import Lens, Specs, Structure
+
+    B = 3
+    p = zoo.get_prescription("cooke")
+    st = Structure(tuple(p["stop_idx"] * B), tuple(p["sequence"] * B))
+    rng = np.random.default_rng(42)
+    tile = lambda v: np.tile(np.asarray(v, np.float32)[None], (B, 1))
+    c = tile(p["c"]) * (1 + 0.02 * rng.standard_normal((B, len(p["c"])))
+                        ).astype(np.float32)
+    lens = Lens(st, jnp.asarray(c), jnp.asarray(tile(p["t"])),
+                jnp.asarray(np.asarray(list(p["nd"]) * B, np.float32)),
+                jnp.asarray(np.asarray(list(p["v"]) * B, np.float32)))
+    specs0, _ = zoo.build("cooke")
+    specs = Specs(st, jnp.tile(specs0.epd, B), jnp.tile(specs0.hfov, B))
+    catalog_g = glass_mod.default_catalog_g()
+    g = glass_mod.g_from_n_v(lens.flat_nd, lens.flat_v)
+    base = dict(n_sampled_fields=4, n_pupil_rings=5,
+                pupil_sampling="circular", n_ray_aiming_iter=1,
+                wavelengths=(459.0, 520.0, 640.0),
+                ray_path_lower_thresholds=(0.5, 1.5, 12.0),
+                ray_path_upper_thresholds=(None, 3.0, 40.0),
+                ray_angle_threshold=30.0)
+    cfg_x = sim_mod.SimulatorConfig(**base)
+    cfg_p = sim_mod.SimulatorConfig(trace_engine="pallas", **base)
+
+    total_x, ld_x = sim_mod.compute_losses(specs, lens, cfg_x, g=g,
+                                           catalog_g=catalog_g)
+    with pltpu.force_tpu_interpret_mode():
+        total_p, ld_p = sim_mod.compute_losses(specs, lens, cfg_p, g=g,
+                                               catalog_g=catalog_g)
+    assert float(ld_x["ray_path"]) > 0.0
+    assert float(ld_x["ray_angle"]) > 0.0
+    for k in ("loss_unsup", "rms", "spot_size", "ray_path", "ray_angle",
+              "glass"):
+        np.testing.assert_allclose(float(ld_p[k]), float(ld_x[k]),
+                                   rtol=3e-4, atol=1e-7, err_msg=k)
+    np.testing.assert_allclose(float(total_p), float(total_x), rtol=3e-4)
+
+    def total_fn(c_, t_, config):
+        tot, _ = sim_mod.compute_losses(specs, lens.replace(c=c_, t=t_),
+                                        config, g=g, catalog_g=catalog_g)
+        return tot
+
+    gx = jax.grad(total_fn, argnums=(0, 1))(lens.c, lens.t, cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(total_fn, argnums=(0, 1))(lens.c, lens.t, cfg_p)
+    for a, b, name in zip(gp, gx, ("dc", "dt")):
+        scale = np.abs(np.asarray(b)).max() + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   atol=5e-4, err_msg=name)
+
+
 def test_fused_do_ray_tracing_dispatch():
     """do_ray_tracing(trace_engine='pallas') returns the same loss_dict as
     the XLA aggregate path, for single systems and batches."""

@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from torchoptics_tpu.ops.pallas_trace import (
     LANES, _LOC_BOOL, _LOC_F32, _N_LOC_BOOL, _N_LOC_F32, _bwd_surface,
-    _fwd_surface, _kill_backward, _theta_norm, _theta_norm_adjoint)
+    _fwd_surface, _hinge, _hinge_grad, _kill_backward, _theta_norm,
+    _theta_norm_adjoint)
 
 DEFAULT_ROWS = None  # None -> auto: one exact tile per system when it fits
 
@@ -56,13 +57,20 @@ def _mu_of_batch(mu_ref, k, widx, w):
     return mu
 
 
-def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward,
-                  z0_ref, c_ref, t_ref, mu_ref, mask_ref,
-                  xp_ref, yp_ref, cy_ref, *outs):
-    if penalties:
+def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
+                  angle_thr, z0_ref, c_ref, t_ref, mu_ref, mask_ref,
+                  *refs):
+    full = penalties == "full"
+    if full:
+        ref_ref, xp_ref, yp_ref, cy_ref, *outs = refs
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
+         pth_out, ptp_out, pz_out, ppath_out, pang_out) = outs
+    elif penalties:
+        xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out) = outs
     else:
+        xp_ref, yp_ref, cy_ref, *outs = refs
         x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
     i = pl.program_id(1)
     widx = _widx_batch(i, rows, w)
@@ -77,6 +85,9 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward,
     pen_th = jnp.zeros_like(x)
     pen_tp = jnp.zeros_like(x)
     pen_z = jnp.zeros_like(x)
+    pen_path = jnp.zeros_like(x)
+    pen_ang = jnp.zeros_like(x)
+    z_prev = None
 
     for k in range(n_surf):
         mu = _mu_of_batch(mu_ref, k, widx, w)
@@ -97,6 +108,20 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward,
             pen_th = pen_th + _theta_norm(loc["cos2"], ok)
             pen_tp = pen_tp + _theta_norm(loc["cos2p"], ok)
             pen_z = pen_z + jnp.maximum(z, 0.0)
+        if full:
+            # Angle + path hinges, as in pallas_trace._fwd_kernel's full
+            # branch (homogeneous batch: per-gap bounds are static/shared,
+            # per-system ref_z rides in SMEM).
+            pen_ang = (pen_ang + jnp.maximum(angle_thr - loc["cos2"], 0.0)
+                       + jnp.maximum(angle_thr - loc["cos2p"], 0.0))
+            if k > 0:
+                delta = ((z + ref_ref[0, 0, k])
+                         - (z_prev + ref_ref[0, 0, k - 1]))
+                pen_path = pen_path + _hinge(delta, *path_bounds[k - 1])
+            z_prev = z
+    if full:
+        delta = ref_ref[0, 0, n_surf] - (z_prev + ref_ref[0, 0, n_surf - 1])
+        pen_path = pen_path + _hinge(delta, *path_bounds[n_surf - 1])
 
     delta_z = -z
     dist = delta_z / cz
@@ -118,18 +143,33 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward,
         pth_out[...] = pen_th
         ptp_out[...] = pen_tp
         pz_out[...] = pen_z
+    if full:
+        ppath_out[...] = pen_path
+        pang_out[...] = pen_ang
 
 
-def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward,
-                  z0_ref, c_ref, t_ref, mu_ref, mask_ref,
-                  xp_ref, yp_ref, cyin_ref, *rest):
-    if penalties:
-        (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
+                  angle_thr, z0_ref, c_ref, t_ref, mu_ref, mask_ref,
+                  *rest):
+    full = penalties == "full"
+    ref_ref = None
+    if full:
+        (ref_ref, xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+         dppath_ref, dpang_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
+         dref_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
+    elif penalties:
+        (xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
          st_locf, st_locb) = rest
     else:
-        (dx_ref, dy_ref, dcx_ref, dcy_ref,
+        (xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
          st_locf, st_locb) = rest
@@ -186,11 +226,29 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward,
             dt_out[0, 0, k] = 0.0
             for wi in range(w):
                 dmu_out[0, 0, k, wi] = 0.0
+        if full:
+            for k in range(n_surf + 1):
+                dref_out[0, 0, k] = 0.0
 
     if penalties:
         dpth = dpth_ref[...]
         dptp = dptp_ref[...]
         dpz = dpz_ref[...]
+    if full:
+        dppath = dppath_ref[...]
+        dpang = dpang_ref[...]
+
+        def zpost(m):
+            return st_z[m + 1] if m + 1 < n_surf else z
+
+        def hinge_cot(j):
+            if j == n_surf - 1:
+                delta = ref_ref[0, 0, n_surf] - (zpost(n_surf - 1)
+                                                 + ref_ref[0, 0, n_surf - 1])
+            else:
+                delta = ((zpost(j + 1) + ref_ref[0, 0, j + 1])
+                         - (zpost(j) + ref_ref[0, 0, j]))
+            return dppath * _hinge_grad(delta, *path_bounds[j])
 
     for k in range(n_surf - 1, -1, -1):
         pre = (st_x[k], st_y[k], st_z[k], st_cx[k], st_cy[k], st_cz[k],
@@ -212,6 +270,18 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward,
             dz = dz + dpz * (z_next > 0)
             dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
             dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
+        if full:
+            # Path/angle adjoints (see pallas_trace._bwd_kernel full branch).
+            hp_k = hinge_cot(k)
+            dz = dz - hp_k
+            if k > 0:
+                dz = dz + hinge_cot(k - 1)
+            dref_out[0, 0, k + 1] += jnp.sum(hp_k)
+            dref_out[0, 0, k] += -jnp.sum(hp_k)
+            dcos2_extra = dcos2_extra - dpang * (
+                loc["cos2"] < angle_thr).astype(jnp.float32)
+            dcos2p_extra = dcos2p_extra - dpang * (
+                loc["cos2p"] < angle_thr).astype(jnp.float32)
         dt_kill = None
         if kill is not None:
             dt_kill = -jnp.sum(jnp.where(kill, dz, 0.0))
@@ -265,6 +335,21 @@ def trace_fused_batch(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS,
                       allow_backward, mask)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def trace_fused_batch_full(xp, yp, cy, z0, c, t, mu, ref_z,
+                           rows=DEFAULT_ROWS, allow_backward=True,
+                           mask=None, path_bounds=(), angle_thr=0.25):
+    """``trace_fused_batch`` with the FULL weighted-loss penalty set
+    accumulated in-kernel, the population analogue of
+    ``pallas_trace.trace_fused_full``. Homogeneous batches only (one
+    generator lens type): the static per-gap ``path_bounds`` are shared;
+    each system's differentiable absolute vertex positions ride in
+    ``ref_z`` (B, S+1). Returns the 6 trace outputs plus (pen_theta,
+    pen_theta_p, pen_zrelu, pen_path, pen_angle), each (B, N)."""
+    return _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, "full",
+                      allow_backward, mask, ref_z, path_bounds, angle_thr)
+
+
 def _mask_array(mask, B, n_surf):
     if mask is None:
         return jnp.ones((B, 1, n_surf), jnp.float32)
@@ -296,7 +381,8 @@ def _specs_common(rows, n_surf, w, n_rows):
 
 
 def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
-               mask):
+               mask, ref_z=None, path_bounds=None, angle_thr=None):
+    full = penalties == "full"
     B, n = xp.shape
     if rows is None:
         rows = auto_rows(n)
@@ -310,24 +396,28 @@ def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
 
     ray_spec, z0_spec, ct_spec, mu_spec = _specs_common(
         rows, n_surf, w, n_rows)
-    n_out = 9 if penalties else 6
+    n_out = (11 if full else 9) if penalties else 6
     out_shapes = (
         [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32)] * 4
         + [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.bool_)] * 2
         + [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32)]
         * (n_out - 6))
+    ref_spec = pl.BlockSpec((1, 1, n_surf + 1), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
+    ref_in = ([ref_z.reshape(B, 1, -1).astype(jnp.float32)] if full else [])
 
     outs = pl.pallas_call(
-        partial(_fwd_kernel_b, n_surf, w, rows, penalties, allow_backward),
+        partial(_fwd_kernel_b, n_surf, w, rows, penalties, allow_backward,
+                path_bounds, angle_thr),
         grid=grid,
-        in_specs=[z0_spec, ct_spec, ct_spec, mu_spec, ct_spec,
-                  ray_spec, ray_spec, ray_spec],
+        in_specs=[z0_spec, ct_spec, ct_spec, mu_spec, ct_spec]
+        + [ref_spec] * len(ref_in) + [ray_spec, ray_spec, ray_spec],
         out_specs=tuple([ray_spec] * n_out),
         out_shape=tuple(out_shapes),
     )(z0.reshape(-1, 1, 1).astype(jnp.float32),
       c[:, None].astype(jnp.float32), t[:, None].astype(jnp.float32),
       mu[:, None].astype(jnp.float32), _mask_array(mask, B, n_surf),
-      xp2, yp2, cy2)
+      *ref_in, xp2, yp2, cy2)
 
     unpad = lambda a: a.reshape(B, -1)[:, :n]
     return tuple(unpad(o) for o in outs)
@@ -340,14 +430,28 @@ def _fused_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
     return out, (xp, yp, cy, z0, c, t, mu)
 
 
-def _fused_bwd_b(rows, penalties, allow_backward, mask, residuals,
-                 cotangents):
-    xp, yp, cy, z0, c, t, mu = residuals
-    if penalties:
+def _fused_full_fwd_b(xp, yp, cy, z0, c, t, mu, ref_z, rows, allow_backward,
+                      mask, path_bounds, angle_thr):
+    out = _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, "full", allow_backward,
+                     mask, ref_z, path_bounds, angle_thr)
+    return out, (xp, yp, cy, z0, c, t, mu, ref_z)
+
+
+def _run_bwd_b(residuals, cotangents, rows, penalties, allow_backward,
+               mask, path_bounds=None, angle_thr=None):
+    full = penalties == "full"
+    if full:
+        xp, yp, cy, z0, c, t, mu, ref_z = residuals
+        (dx, dy, dcx, dcy, _dok, _dbw,
+         dpth, dptp, dpz, dppath, dpang) = cotangents
+    elif penalties:
+        xp, yp, cy, z0, c, t, mu = residuals
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
+        ref_z = dppath = dpang = None
     else:
+        xp, yp, cy, z0, c, t, mu = residuals
         dx, dy, dcx, dcy, _dok, _dbw = cotangents
-        dpth = dptp = dpz = None
+        ref_z = dpth = dptp = dpz = dppath = dpang = None
 
     B, n = xp.shape
     if rows is None:
@@ -358,11 +462,15 @@ def _fused_bwd_b(rows, penalties, allow_backward, mask, residuals,
     xp2, yp2, cy2 = prep(xp), prep(yp), prep(cy)
     dx2, dy2, dcx2, dcy2 = prep(dx), prep(dy), prep(dcx), prep(dcy)
     pen_in = [prep(dpth), prep(dptp), prep(dpz)] if penalties else []
+    if full:
+        pen_in += [prep(dppath), prep(dpang)]
     n_rows = xp2.shape[1]
     grid = (B, n_rows // rows)
 
     ray_spec, z0_spec, ct_spec, mu_spec = _specs_common(
         rows, n_surf, w, n_rows)
+    ref_spec = pl.BlockSpec((1, 1, n_surf + 1), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
     out_shape = (
         jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
@@ -372,6 +480,15 @@ def _fused_bwd_b(rows, penalties, allow_backward, mask, residuals,
         jax.ShapeDtypeStruct((B, 1, n_surf), jnp.float32),
         jax.ShapeDtypeStruct((B, 1, n_surf, w), jnp.float32),
     )
+    out_specs = [ray_spec, ray_spec, ray_spec, z0_spec, ct_spec, ct_spec,
+                 pl.BlockSpec((1, 1, n_surf, w), lambda b, i: (b, 0, 0, 0),
+                              memory_space=pltpu.SMEM)]
+    ref_in = []
+    if full:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((B, 1, n_surf + 1), jnp.float32),)
+        out_specs.append(ref_spec)
+        ref_in = [ref_z.reshape(B, 1, -1).astype(jnp.float32)]
     scratch = [pltpu.VMEM((n_surf, 1, rows, LANES), jnp.float32)
                for _ in range(6)]
     scratch.append(pltpu.VMEM((n_surf, 1, rows, LANES), jnp.bool_))
@@ -379,32 +496,47 @@ def _fused_bwd_b(rows, penalties, allow_backward, mask, residuals,
                               jnp.float32))
     scratch.append(pltpu.VMEM((_N_LOC_BOOL, n_surf, 1, rows, LANES),
                               jnp.bool_))
-    dmu_spec = pl.BlockSpec((1, 1, n_surf, w), lambda b, i: (b, 0, 0, 0),
-                            memory_space=pltpu.SMEM)
 
     outs = pl.pallas_call(
-        partial(_bwd_kernel_b, n_surf, w, rows, penalties, allow_backward),
+        partial(_bwd_kernel_b, n_surf, w, rows, penalties, allow_backward,
+                path_bounds, angle_thr),
         grid=grid,
-        in_specs=[z0_spec, ct_spec, ct_spec, mu_spec, ct_spec,
-                  ray_spec, ray_spec, ray_spec,
-                  ray_spec, ray_spec, ray_spec, ray_spec]
+        in_specs=[z0_spec, ct_spec, ct_spec, mu_spec, ct_spec]
+        + [ref_spec] * len(ref_in)
+        + [ray_spec, ray_spec, ray_spec,
+           ray_spec, ray_spec, ray_spec, ray_spec]
         + [ray_spec] * len(pen_in),
-        out_specs=(ray_spec, ray_spec, ray_spec,
-                   z0_spec, ct_spec, ct_spec, dmu_spec),
+        out_specs=tuple(out_specs),
         out_shape=out_shape,
         scratch_shapes=scratch,
     )(z0.reshape(-1, 1, 1).astype(jnp.float32),
       c[:, None].astype(jnp.float32), t[:, None].astype(jnp.float32),
       mu[:, None].astype(jnp.float32), _mask_array(mask, B, n_surf),
-      xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
+      *ref_in, xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
 
-    dxp2, dyp2, dcy2o, dz0, dc, dt, dmu = outs
+    dxp2, dyp2, dcy2o, dz0, dc, dt, dmu = outs[:7]
     unpad = lambda a: a.reshape(B, -1)[:, :n]
-    return (unpad(dxp2), unpad(dyp2), unpad(dcy2o),
-            dz0.reshape(jnp.shape(z0)), dc[:, 0], dt[:, 0], dmu[:, 0])
+    grads = (unpad(dxp2), unpad(dyp2), unpad(dcy2o),
+             dz0.reshape(jnp.shape(z0)), dc[:, 0], dt[:, 0], dmu[:, 0])
+    if full:
+        grads = grads + (outs[7][:, 0].reshape(jnp.shape(ref_z)),)
+    return grads
+
+
+def _fused_bwd_b(rows, penalties, allow_backward, mask, residuals,
+                 cotangents):
+    return _run_bwd_b(residuals, cotangents, rows, penalties,
+                      allow_backward, mask)
+
+
+def _fused_full_bwd_b(rows, allow_backward, mask, path_bounds, angle_thr,
+                      residuals, cotangents):
+    return _run_bwd_b(residuals, cotangents, rows, "full", allow_backward,
+                      mask, path_bounds, angle_thr)
 
 
 trace_fused_batch.defvjp(_fused_fwd_b, _fused_bwd_b)
+trace_fused_batch_full.defvjp(_fused_full_fwd_b, _fused_full_bwd_b)
 
 
 # ---------------------------------------------------------------------------
@@ -493,6 +625,67 @@ def trace_rays_fused_batch(specs, lens, config,
     if penalties:
         return result, tuple(p.reshape(shape) for p in outs[6:])
     return result
+
+
+def batched_compute_losses_fused(specs, lens, config,
+                                 g=None, catalog_g=None,
+                                 key: Optional[jax.Array] = None,
+                                 rows=DEFAULT_ROWS):
+    """The FULL weighted loss (spot + ray-path + ray-angle + glass + Lu)
+    for a homogeneous lens population in one fused launch — the batched
+    analogue of ``pallas_trace.compute_losses_fused``. Matches
+    ``simulator.compute_losses``'s XLA batch reductions (hinge sums are
+    means over all (B, F, P, W) rays; Lu terms follow the per-sample
+    semantics of `optical_loss.py:105-111`)."""
+    import math as _math
+    from torchoptics_tpu.ops import metrics as metrics_mod
+    from torchoptics_tpu.ops.pallas_trace import _path_bounds
+    from torchoptics_tpu import simulator as sim_mod
+
+    cfg = config.trace_config()
+    assert lens.is_spherical, "batched fused full loss is spherical"
+    assert len(set(lens.structure.sequence)) == 1, (
+        "batched fused full loss expects a homogeneous population (one "
+        "generator lens type); use trace_engine='unroll' for mixed batches")
+    B = len(lens)
+    bounds = _path_bounds(lens.structure, config.ray_path_lower_thresholds,
+                          config.ray_path_upper_thresholds)
+    angle_thr = _math.cos(_math.radians(config.ray_angle_threshold)) ** 2
+
+    xpb, ypb, cyb, z0, mu, shape = prepare_fused_inputs_batch(
+        specs, lens, cfg, key=key)
+    vertex_z = jnp.cumsum(lens.t, axis=1)                      # (B, S)
+    ref_z = jnp.concatenate((vertex_z, vertex_z[:, -1:]), axis=1)
+
+    outs = trace_fused_batch_full(
+        xpb, ypb, cyb, z0, lens.c, lens.t, mu, ref_z, rows,
+        cfg.allow_backward_rays, _static_mask(lens.structure), bounds,
+        angle_thr)
+    from torchoptics_tpu.ops import trace as trace_mod
+    x, y, cx, cy_o, ok, bw = [o.reshape(shape) for o in outs[:6]]
+    result = trace_mod.TraceResult(x, y, cx, cy_o, ok, bw, None)
+    pth, ptp, pz, ppath, pang = [p.reshape(shape) for p in outs[6:]]
+
+    n_rays_total = shape[0] * shape[1] * shape[2] * shape[3]
+    rms_b = metrics_mod.compute_rms2d(x, y, ok)                 # (B,)
+    n_seq = jnp.asarray(lens.structure.n_surfaces, rms_b.dtype)
+    sumQ_b = (jnp.sum(pth, axis=(1, 2, 3)) + jnp.sum(ptp, axis=(1, 2, 3))
+              + jnp.sum(pz, axis=(1, 2, 3))) / n_seq
+    Lu_b = rms_b + config.penalty_rate * sumQ_b
+    loss_dict = {
+        "loss_unsup": jnp.mean(Lu_b), "rms": jnp.mean(rms_b),
+        "penalty": jnp.mean(sumQ_b),
+        "spot_size": jnp.mean(rms_b),
+        "ray_path": jnp.sum(ppath) / n_rays_total,
+        "ray_angle": jnp.sum(pang) / n_rays_total,
+    }
+    if g is not None:
+        loss_dict["glass"] = sim_mod.compute_glass_penalty(
+            lens.structure, g, catalog_g)
+    weights = config.loss_weights
+    total = sum(loss_dict[k] * w for k, w in weights.items()
+                if k in loss_dict and w is not None)
+    return total, loss_dict
 
 
 def batched_unsupervised_loss(specs, lens, config,

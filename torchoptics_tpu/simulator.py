@@ -280,9 +280,15 @@ def compute_losses(specs: Specs, lens: Lens, config: SimulatorConfig,
             from torchoptics_tpu.ops import pallas_trace
             return pallas_trace.compute_losses_fused(
                 specs, lens, config, g=g, catalog_g=catalog_g, key=key)
+        if (lens.is_spherical
+                and len(set(lens.structure.sequence)) == 1):
+            from torchoptics_tpu.ops import pallas_batch
+            return pallas_batch.batched_compute_losses_fused(
+                specs, lens, config, g=g, catalog_g=catalog_g, key=key)
         raise NotImplementedError(
-            "fused compute_losses covers single spherical systems; use "
-            "trace_engine='unroll' for batches or aspheres")
+            "fused compute_losses covers spherical systems (single, or "
+            "homogeneous populations); use trace_engine='unroll' for "
+            "aspheres or mixed-sequence batches")
     res = trace_mod.trace_rays(
         specs, lens, cfg, key=key,
         aggregate=("z", "cos2", "cos2_prime") + trace_mod.AGG_TORCH)
