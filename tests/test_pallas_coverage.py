@@ -300,6 +300,75 @@ def test_fused_compute_losses_batched_parity():
                                    np.asarray(b) / scale,
                                    atol=5e-4, err_msg=name)
 
+    # Aspherized homogeneous population: same fused full-loss contract.
+    lens_a = lens.replace(
+        kappa=jnp.asarray(rng.uniform(-0.4, 0.2, lens.c.shape), jnp.float32),
+        asph=jnp.asarray(rng.uniform(-1, 1, lens.c.shape + (2,))
+                         * np.asarray([1e-5, 1e-8]), jnp.float32))
+    total_xa, ld_xa = sim_mod.compute_losses(specs, lens_a, cfg_x, g=g,
+                                             catalog_g=catalog_g)
+    with pltpu.force_tpu_interpret_mode():
+        total_pa, ld_pa = sim_mod.compute_losses(specs, lens_a, cfg_p, g=g,
+                                                 catalog_g=catalog_g)
+    for k in ("loss_unsup", "rms", "ray_path", "ray_angle"):
+        np.testing.assert_allclose(float(ld_pa[k]), float(ld_xa[k]),
+                                   rtol=3e-4, atol=1e-7, err_msg=f"asph:{k}")
+    np.testing.assert_allclose(float(total_pa), float(total_xa), rtol=3e-4)
+
+
+def test_fused_compute_losses_asphere_parity():
+    """compute_losses(trace_engine='pallas') on a single conic/asphere
+    system — full weighted loss fused in-kernel — matches the XLA path."""
+    from torchoptics_tpu import simulator as sim_mod
+    from torchoptics_tpu.models import glass as glass_mod
+
+    specs, lens0 = zoo.build("cooke")
+    rng = np.random.default_rng(77)
+    B, S = lens0.c.shape
+    lens = lens0.replace(
+        kappa=jnp.asarray(rng.uniform(-0.5, 0.2, (B, S)), jnp.float32),
+        asph=jnp.asarray(rng.uniform(-1, 1, (B, S, 2))
+                         * np.asarray([1e-5, 1e-8]), jnp.float32))
+    catalog_g = glass_mod.default_catalog_g()
+    g = glass_mod.g_from_n_v(lens.flat_nd, lens.flat_v)
+    base = dict(n_sampled_fields=4, n_pupil_rings=5,
+                pupil_sampling="circular", n_ray_aiming_iter=1,
+                wavelengths=(459.0, 520.0, 640.0),
+                ray_path_lower_thresholds=(0.5, 1.5, 12.0),
+                ray_path_upper_thresholds=(None, 3.0, 40.0),
+                ray_angle_threshold=30.0)
+    cfg_x = sim_mod.SimulatorConfig(**base)
+    cfg_p = sim_mod.SimulatorConfig(trace_engine="pallas", **base)
+
+    total_x, ld_x = sim_mod.compute_losses(specs, lens, cfg_x, g=g,
+                                           catalog_g=catalog_g)
+    with pltpu.force_tpu_interpret_mode():
+        total_p, ld_p = sim_mod.compute_losses(specs, lens, cfg_p, g=g,
+                                               catalog_g=catalog_g)
+    assert float(ld_x["ray_path"]) > 0.0
+    for k in ("loss_unsup", "rms", "spot_size", "ray_path", "ray_angle",
+              "glass"):
+        np.testing.assert_allclose(float(ld_p[k]), float(ld_x[k]),
+                                   rtol=3e-4, atol=1e-7, err_msg=k)
+    np.testing.assert_allclose(float(total_p), float(total_x), rtol=3e-4)
+
+    def total_fn(c, kap, t, config):
+        tot, _ = sim_mod.compute_losses(
+            specs, lens.replace(c=c, kappa=kap, t=t), config, g=g,
+            catalog_g=catalog_g)
+        return tot
+
+    gx = jax.grad(total_fn, argnums=(0, 1, 2))(lens.c, lens.kappa, lens.t,
+                                               cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(total_fn, argnums=(0, 1, 2))(lens.c, lens.kappa,
+                                                   lens.t, cfg_p)
+    for a, b, name in zip(gp, gx, ("dc", "dkappa", "dt")):
+        scale = np.abs(np.asarray(b)).max() + 1e-12
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   atol=5e-4, err_msg=name)
+
 
 def test_fused_do_ray_tracing_dispatch():
     """do_ray_tracing(trace_engine='pallas') returns the same loss_dict as

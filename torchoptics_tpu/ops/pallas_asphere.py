@@ -36,8 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from torchoptics_tpu.ops.pallas_trace import (
-    LANES, _kill_backward, _theta_norm, _theta_norm_adjoint, _widx, _mu_of,
-    _pad_len)
+    LANES, _hinge, _hinge_grad, _kill_backward, _theta_norm,
+    _theta_norm_adjoint, _widx, _mu_of, _pad_len)
 
 EPS = 1e-6
 DEFAULT_ROWS = 32
@@ -361,12 +361,19 @@ def _bwd_surface_a(c, kappa, t, mu, a_ref, k_surf, n_asph, pre, loc, d,
 
 
 def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
-                  z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref,
-                  xp_ref, yp_ref, cy_ref, *outs):
-    if penalties:
+                  path_bounds, angle_thr,
+                  z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, *refs):
+    full = penalties == "full"
+    if full:
+        ref_ref, xp_ref, yp_ref, cy_ref, *outs = refs
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
+         pth_out, ptp_out, pz_out, ppath_out, pang_out) = outs
+    elif penalties:
+        xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out) = outs
     else:
+        xp_ref, yp_ref, cy_ref, *outs = refs
         x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
     i = pl.program_id(0)
     widx = _widx(i, rows, w)
@@ -381,6 +388,9 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
     pen_th = jnp.zeros_like(x)
     pen_tp = jnp.zeros_like(x)
     pen_z = jnp.zeros_like(x)
+    pen_path = jnp.zeros_like(x)
+    pen_ang = jnp.zeros_like(x)
+    z_prev = None
 
     for k in range(n_surf):
         mu = _mu_of(mu_ref, k, widx, w)
@@ -399,6 +409,17 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
             pen_th = pen_th + _theta_norm(loc["cos2"], ok)
             pen_tp = pen_tp + _theta_norm(loc["cos2p"], ok)
             pen_z = pen_z + jnp.maximum(z, 0.0)
+        if full:
+            # Angle + path hinges (see pallas_trace._fwd_kernel full branch).
+            pen_ang = (pen_ang + jnp.maximum(angle_thr - loc["cos2"], 0.0)
+                       + jnp.maximum(angle_thr - loc["cos2p"], 0.0))
+            if k > 0:
+                delta = (z + ref_ref[0, k]) - (z_prev + ref_ref[0, k - 1])
+                pen_path = pen_path + _hinge(delta, *path_bounds[k - 1])
+            z_prev = z
+    if full:
+        delta = ref_ref[0, n_surf] - (z_prev + ref_ref[0, n_surf - 1])
+        pen_path = pen_path + _hinge(delta, *path_bounds[n_surf - 1])
 
     delta_z = -z
     dist = delta_z / cz
@@ -419,6 +440,9 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
         pth_out[...] = pen_th
         ptp_out[...] = pen_tp
         pz_out[...] = pen_z
+    if full:
+        ppath_out[...] = pen_path
+        pang_out[...] = pen_ang
 
 
 
@@ -434,16 +458,28 @@ _N_LOC_BOOL_A = len(_LOC_BOOL_A)
 
 
 def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
-                  z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref,
-                  xp_ref, yp_ref, cyin_ref, *rest):
-    if penalties:
-        (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+                  path_bounds, angle_thr,
+                  z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, *rest):
+    full = penalties == "full"
+    ref_ref = None
+    if full:
+        (ref_ref, xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+         dppath_ref, dpang_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
+         dmu_out, da_out, dref_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
+    elif penalties:
+        (xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
          dmu_out, da_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
          st_locf, st_locb) = rest
     else:
-        (dx_ref, dy_ref, dcx_ref, dcy_ref,
+        (xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
          dmu_out, da_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
@@ -504,11 +540,29 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
                 dmu_out[0, k, wi] = 0.0
             for ai in range(n_asph):
                 da_out[0, k, ai] = 0.0
+        if full:
+            for k in range(n_surf + 1):
+                dref_out[0, k] = 0.0
 
     if penalties:
         dpth = dpth_ref[...]
         dptp = dptp_ref[...]
         dpz = dpz_ref[...]
+    if full:
+        dppath = dppath_ref[...]
+        dpang = dpang_ref[...]
+
+        def zpost(m):
+            return st_z[m + 1] if m + 1 < n_surf else z
+
+        def hinge_cot(j):
+            if j == n_surf - 1:
+                delta = ref_ref[0, n_surf] - (zpost(n_surf - 1)
+                                              + ref_ref[0, n_surf - 1])
+            else:
+                delta = ((zpost(j + 1) + ref_ref[0, j + 1])
+                         - (zpost(j) + ref_ref[0, j]))
+            return dppath * _hinge_grad(delta, *path_bounds[j])
 
     for k in range(n_surf - 1, -1, -1):
         pre = (st_x[k], st_y[k], st_z[k], st_cx[k], st_cy[k], st_cz[k],
@@ -530,6 +584,18 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
             dz = dz + dpz * (z_next > 0)
             dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
             dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
+        if full:
+            # Path/angle adjoints (see pallas_trace._bwd_kernel full branch).
+            hp_k = hinge_cot(k)
+            dz = dz - hp_k
+            if k > 0:
+                dz = dz + hinge_cot(k - 1)
+            dref_out[0, k + 1] += jnp.sum(hp_k)
+            dref_out[0, k] += -jnp.sum(hp_k)
+            dcos2_extra = dcos2_extra - dpang * (
+                loc["cos2"] < angle_thr).astype(jnp.float32)
+            dcos2p_extra = dcos2p_extra - dpang * (
+                loc["cos2p"] < angle_thr).astype(jnp.float32)
         dt_kill = None
         if kill is not None:
             dt_kill = -jnp.sum(jnp.where(kill, dz, 0.0))
@@ -580,7 +646,9 @@ def trace_fused_asphere(xp, yp, cy, z0, c, kappa, t, mu, asph,
 
 
 def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
-               n_iter, allow_backward):
+               n_iter, allow_backward, ref_z=None, path_bounds=None,
+               angle_thr=None):
+    full = penalties == "full"
     n = xp.shape[0]
     n_surf = c.shape[0]
     w = mu.shape[1]
@@ -596,23 +664,25 @@ def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    n_out = 9 if penalties else 6
+    n_out = (11 if full else 9) if penalties else 6
     out_shapes = (
         [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 4
         + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.bool_)] * 2
         + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * (n_out - 6))
+    ref_in = ([jnp.reshape(ref_z, (1, -1)).astype(jnp.float32)]
+              if full else [])
 
     outs = pl.pallas_call(
         partial(_fwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter,
-                allow_backward),
+                allow_backward, path_bounds, angle_thr),
         grid=grid,
-        in_specs=[smem] * 6 + [ray_spec] * 3,
+        in_specs=[smem] * (6 + len(ref_in)) + [ray_spec] * 3,
         out_specs=tuple([ray_spec] * n_out),
         out_shape=tuple(out_shapes),
     )(jnp.reshape(z0, (1, 1)).astype(jnp.float32),
       c.astype(jnp.float32), kappa.astype(jnp.float32),
       t.astype(jnp.float32), mu.astype(jnp.float32),
-      asph.astype(jnp.float32), xp2, yp2, cy2)
+      asph.astype(jnp.float32), *ref_in, xp2, yp2, cy2)
 
     unpad = lambda a: a.reshape(-1)[:n]
     return tuple(unpad(o) for o in outs)
@@ -625,14 +695,21 @@ def _fused_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
     return out, (xp, yp, cy, z0, c, kappa, t, mu, asph)
 
 
-def _fused_bwd_a(rows, penalties, n_iter, allow_backward, residuals,
-                 cotangents):
-    xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
-    if penalties:
+def _run_bwd_a(residuals, cotangents, rows, penalties, n_iter,
+               allow_backward, path_bounds=None, angle_thr=None):
+    full = penalties == "full"
+    if full:
+        xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z = residuals
+        (dx, dy, dcx, dcy, _dok, _dbw,
+         dpth, dptp, dpz, dppath, dpang) = cotangents
+    elif penalties:
+        xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
+        ref_z = dppath = dpang = None
     else:
+        xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
         dx, dy, dcx, dcy, _dok, _dbw = cotangents
-        dpth = dptp = dpz = None
+        ref_z = dpth = dptp = dpz = dppath = dpang = None
 
     n = xp.shape[0]
     n_surf = c.shape[0]
@@ -645,6 +722,8 @@ def _fused_bwd_a(rows, penalties, n_iter, allow_backward, residuals,
     dx2, dy2 = as2d(dx), as2d(dy)
     dcx2, dcy2 = as2d(dcx), as2d(dcy)
     pen_in = [as2d(dpth), as2d(dptp), as2d(dpz)] if penalties else []
+    if full:
+        pen_in += [as2d(dppath), as2d(dpang)]
     n_rows = xp2.shape[0]
     grid = (n_rows // rows,)
 
@@ -655,7 +734,7 @@ def _fused_bwd_a(rows, penalties, n_iter, allow_backward, residuals,
         (1,) + shape, lambda i: (0,) + (0,) * len(shape),
         memory_space=pltpu.SMEM)
 
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
@@ -665,7 +744,21 @@ def _fused_bwd_a(rows, penalties, n_iter, allow_backward, residuals,
         jax.ShapeDtypeStruct((1, n_surf), jnp.float32),      # dt
         jax.ShapeDtypeStruct((1, n_surf, w), jnp.float32),   # dmu
         jax.ShapeDtypeStruct((1, n_surf, n_asph), jnp.float32),  # dasph
-    )
+    ]
+    out_specs = [
+        ray_spec, ray_spec, ray_spec,
+        scalar_tile((1,)),
+        scalar_tile((n_surf,)),
+        scalar_tile((n_surf,)),
+        scalar_tile((n_surf,)),
+        scalar_tile((n_surf, w)),
+        scalar_tile((n_surf, n_asph)),
+    ]
+    ref_in = []
+    if full:
+        out_shape.append(jax.ShapeDtypeStruct((1, n_surf + 1), jnp.float32))
+        out_specs.append(scalar_tile((n_surf + 1,)))
+        ref_in = [jnp.reshape(ref_z, (1, -1)).astype(jnp.float32)]
     scratch = [pltpu.VMEM((n_surf, rows, LANES), jnp.float32)
                for _ in range(6)]
     scratch.append(pltpu.VMEM((n_surf, rows, LANES), jnp.bool_))
@@ -676,34 +769,64 @@ def _fused_bwd_a(rows, penalties, n_iter, allow_backward, residuals,
 
     outs = pl.pallas_call(
         partial(_bwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter,
-                allow_backward),
+                allow_backward, path_bounds, angle_thr),
         grid=grid,
-        in_specs=[smem] * 6 + [ray_spec] * (7 + len(pen_in)),
-        out_specs=(
-            ray_spec, ray_spec, ray_spec,
-            scalar_tile((1,)),
-            scalar_tile((n_surf,)),
-            scalar_tile((n_surf,)),
-            scalar_tile((n_surf,)),
-            scalar_tile((n_surf, w)),
-            scalar_tile((n_surf, n_asph)),
-        ),
-        out_shape=out_shape,
+        in_specs=[smem] * (6 + len(ref_in))
+        + [ray_spec] * (7 + len(pen_in)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
     )(jnp.reshape(z0, (1, 1)).astype(jnp.float32),
       c.astype(jnp.float32), kappa.astype(jnp.float32),
       t.astype(jnp.float32), mu.astype(jnp.float32),
-      asph.astype(jnp.float32),
+      asph.astype(jnp.float32), *ref_in,
       xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
 
-    (dxp2, dyp2, dcy2o, dz0, dc, dkap, dt, dmu, dasph) = outs
+    (dxp2, dyp2, dcy2o, dz0, dc, dkap, dt, dmu, dasph) = outs[:9]
     unpad = lambda a: a.reshape(-1)[:n]
-    return (unpad(dxp2), unpad(dyp2), unpad(dcy2o),
-            dz0.reshape(jnp.shape(z0)), dc[0], dkap[0], dt[0], dmu[0],
-            dasph[0])
+    grads = (unpad(dxp2), unpad(dyp2), unpad(dcy2o),
+             dz0.reshape(jnp.shape(z0)), dc[0], dkap[0], dt[0], dmu[0],
+             dasph[0])
+    if full:
+        grads = grads + (outs[9][0].reshape(jnp.shape(ref_z)),)
+    return grads
+
+
+def _fused_bwd_a(rows, penalties, n_iter, allow_backward, residuals,
+                 cotangents):
+    return _run_bwd_a(residuals, cotangents, rows, penalties, n_iter,
+                      allow_backward)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def trace_fused_asphere_full(xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z,
+                             rows=DEFAULT_ROWS, n_iter=NEWTON_ITERS,
+                             allow_backward=True, path_bounds=(),
+                             angle_thr=0.25):
+    """``trace_fused_asphere`` with the FULL weighted-loss penalty set
+    accumulated in-kernel — the conic/asphere analogue of
+    ``pallas_trace.trace_fused_full`` (same ref_z/path_bounds/angle_thr
+    contract). Returns the 6 trace outputs plus (pen_theta, pen_theta_p,
+    pen_zrelu, pen_path, pen_angle), each (N,)."""
+    return _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "full",
+                      n_iter, allow_backward, ref_z, path_bounds, angle_thr)
+
+
+def _fused_full_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z, rows,
+                      n_iter, allow_backward, path_bounds, angle_thr):
+    out = _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "full",
+                     n_iter, allow_backward, ref_z, path_bounds, angle_thr)
+    return out, (xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z)
+
+
+def _fused_full_bwd_a(rows, n_iter, allow_backward, path_bounds, angle_thr,
+                      residuals, cotangents):
+    return _run_bwd_a(residuals, cotangents, rows, "full", n_iter,
+                      allow_backward, path_bounds, angle_thr)
 
 
 trace_fused_asphere.defvjp(_fused_fwd_a, _fused_bwd_a)
+trace_fused_asphere_full.defvjp(_fused_full_fwd_a, _fused_full_bwd_a)
 
 
 # ---------------------------------------------------------------------------
@@ -729,14 +852,21 @@ class _RefView:
 
 
 def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
-                   allow_backward,
+                   allow_backward, path_bounds, angle_thr,
                    z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, mask_ref,
-                   xp_ref, yp_ref, cy_ref, *outs):
+                   *refs):
     from torchoptics_tpu.ops.pallas_batch import _mu_of_batch, _widx_batch
-    if penalties:
+    full = penalties == "full"
+    if full:
+        ref_ref, xp_ref, yp_ref, cy_ref, *outs = refs
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
+         pth_out, ptp_out, pz_out, ppath_out, pang_out) = outs
+    elif penalties:
+        xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out) = outs
     else:
+        xp_ref, yp_ref, cy_ref, *outs = refs
         x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
     i = pl.program_id(1)
     widx = _widx_batch(i, rows, w)
@@ -752,6 +882,9 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
     pen_th = jnp.zeros_like(x)
     pen_tp = jnp.zeros_like(x)
     pen_z = jnp.zeros_like(x)
+    pen_path = jnp.zeros_like(x)
+    pen_ang = jnp.zeros_like(x)
+    z_prev = None
 
     for k in range(n_surf):
         mu = _mu_of_batch(mu_ref, k, widx, w)
@@ -771,6 +904,17 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
             pen_th = pen_th + _theta_norm(loc["cos2"], ok)
             pen_tp = pen_tp + _theta_norm(loc["cos2p"], ok)
             pen_z = pen_z + jnp.maximum(z, 0.0)
+        if full:
+            pen_ang = (pen_ang + jnp.maximum(angle_thr - loc["cos2"], 0.0)
+                       + jnp.maximum(angle_thr - loc["cos2p"], 0.0))
+            if k > 0:
+                delta = ((z + ref_ref[0, 0, k])
+                         - (z_prev + ref_ref[0, 0, k - 1]))
+                pen_path = pen_path + _hinge(delta, *path_bounds[k - 1])
+            z_prev = z
+    if full:
+        delta = ref_ref[0, 0, n_surf] - (z_prev + ref_ref[0, 0, n_surf - 1])
+        pen_path = pen_path + _hinge(delta, *path_bounds[n_surf - 1])
 
     delta_z = -z
     dist = delta_z / cz
@@ -792,21 +936,36 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
         pth_out[...] = pen_th
         ptp_out[...] = pen_tp
         pz_out[...] = pen_z
+    if full:
+        ppath_out[...] = pen_path
+        pang_out[...] = pen_ang
 
 
 def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
-                   allow_backward,
+                   allow_backward, path_bounds, angle_thr,
                    z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, mask_ref,
-                   xp_ref, yp_ref, cyin_ref, *rest):
+                   *rest):
     from torchoptics_tpu.ops.pallas_batch import _mu_of_batch, _widx_batch
-    if penalties:
-        (dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+    full = penalties == "full"
+    ref_ref = None
+    if full:
+        (ref_ref, xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
+         dppath_ref, dpang_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
+         dmu_out, da_out, dref_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
+    elif penalties:
+        (xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
          dmu_out, da_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
          st_locf, st_locb) = rest
     else:
-        (dx_ref, dy_ref, dcx_ref, dcy_ref,
+        (xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
          dmu_out, da_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
@@ -869,11 +1028,29 @@ def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
                 dmu_out[0, 0, k, wi] = 0.0
             for ai in range(n_asph):
                 da_out[0, 0, k, ai] = 0.0
+        if full:
+            for k in range(n_surf + 1):
+                dref_out[0, 0, k] = 0.0
 
     if penalties:
         dpth = dpth_ref[...]
         dptp = dptp_ref[...]
         dpz = dpz_ref[...]
+    if full:
+        dppath = dppath_ref[...]
+        dpang = dpang_ref[...]
+
+        def zpost(m):
+            return st_z[m + 1] if m + 1 < n_surf else z
+
+        def hinge_cot(j):
+            if j == n_surf - 1:
+                delta = ref_ref[0, 0, n_surf] - (zpost(n_surf - 1)
+                                                 + ref_ref[0, 0, n_surf - 1])
+            else:
+                delta = ((zpost(j + 1) + ref_ref[0, 0, j + 1])
+                         - (zpost(j) + ref_ref[0, 0, j]))
+            return dppath * _hinge_grad(delta, *path_bounds[j])
 
     for k in range(n_surf - 1, -1, -1):
         pre = (st_x[k], st_y[k], st_z[k], st_cx[k], st_cy[k], st_cz[k],
@@ -895,6 +1072,17 @@ def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
             dz = dz + dpz * (z_next > 0)
             dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
             dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
+        if full:
+            hp_k = hinge_cot(k)
+            dz = dz - hp_k
+            if k > 0:
+                dz = dz + hinge_cot(k - 1)
+            dref_out[0, 0, k + 1] += jnp.sum(hp_k)
+            dref_out[0, 0, k] += -jnp.sum(hp_k)
+            dcos2_extra = dcos2_extra - dpang * (
+                loc["cos2"] < angle_thr).astype(jnp.float32)
+            dcos2p_extra = dcos2p_extra - dpang * (
+                loc["cos2p"] < angle_thr).astype(jnp.float32)
         dt_kill = None
         if kill is not None:
             dt_kill = -jnp.sum(jnp.where(kill, dz, 0.0))
@@ -942,9 +1130,11 @@ def trace_fused_asphere_batch(xp, yp, cy, z0, c, kappa, t, mu, asph,
 
 
 def _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
-                n_iter, allow_backward, mask):
+                n_iter, allow_backward, mask, ref_z=None, path_bounds=None,
+                angle_thr=None):
     from torchoptics_tpu.ops.pallas_batch import (
         _mask_array, _prep, _specs_common, auto_rows)
+    full = penalties == "full"
     B, n = xp.shape
     if rows is None:
         rows = auto_rows(n)
@@ -961,26 +1151,31 @@ def _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
         rows, n_surf, w, n_rows)
     a_spec = pl.BlockSpec((1, 1, n_surf, n_asph), lambda b, i: (b, 0, 0, 0),
                           memory_space=pltpu.SMEM)
-    n_out = 9 if penalties else 6
+    ref_spec = pl.BlockSpec((1, 1, n_surf + 1), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
+    n_out = (11 if full else 9) if penalties else 6
     out_shapes = (
         [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32)] * 4
         + [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.bool_)] * 2
         + [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32)]
         * (n_out - 6))
+    ref_in = ([ref_z.reshape(B, 1, -1).astype(jnp.float32)]
+              if full else [])
 
     outs = pl.pallas_call(
         partial(_fwd_kernel_ab, n_surf, w, rows, n_asph, penalties, n_iter,
-                allow_backward),
+                allow_backward, path_bounds, angle_thr),
         grid=grid,
         in_specs=[z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec,
-                  ct_spec, ray_spec, ray_spec, ray_spec],
+                  ct_spec] + [ref_spec] * len(ref_in)
+        + [ray_spec, ray_spec, ray_spec],
         out_specs=tuple([ray_spec] * n_out),
         out_shape=tuple(out_shapes),
     )(z0.reshape(-1, 1, 1).astype(jnp.float32),
       c[:, None].astype(jnp.float32), kappa[:, None].astype(jnp.float32),
       t[:, None].astype(jnp.float32), mu[:, None].astype(jnp.float32),
       asph[:, None].astype(jnp.float32), _mask_array(mask, B, n_surf),
-      xp2, yp2, cy2)
+      *ref_in, xp2, yp2, cy2)
 
     unpad = lambda a: a.reshape(B, -1)[:, :n]
     return tuple(unpad(o) for o in outs)
@@ -993,16 +1188,23 @@ def _fused_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
     return out, (xp, yp, cy, z0, c, kappa, t, mu, asph)
 
 
-def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask,
-                  residuals, cotangents):
+def _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
+                allow_backward, mask, path_bounds=None, angle_thr=None):
     from torchoptics_tpu.ops.pallas_batch import (
         _mask_array, _prep, _specs_common, auto_rows)
-    xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
-    if penalties:
+    full = penalties == "full"
+    if full:
+        xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z = residuals
+        (dx, dy, dcx, dcy, _dok, _dbw,
+         dpth, dptp, dpz, dppath, dpang) = cotangents
+    elif penalties:
+        xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
+        ref_z = dppath = dpang = None
     else:
+        xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
         dx, dy, dcx, dcy, _dok, _dbw = cotangents
-        dpth = dptp = dpz = None
+        ref_z = dpth = dptp = dpz = dppath = dpang = None
 
     B, n = xp.shape
     if rows is None:
@@ -1014,6 +1216,8 @@ def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask,
     xp2, yp2, cy2 = prep(xp), prep(yp), prep(cy)
     dx2, dy2, dcx2, dcy2 = prep(dx), prep(dy), prep(dcx), prep(dcy)
     pen_in = [prep(dpth), prep(dptp), prep(dpz)] if penalties else []
+    if full:
+        pen_in += [prep(dppath), prep(dpang)]
     n_rows = xp2.shape[1]
     grid = (B, n_rows // rows)
 
@@ -1021,7 +1225,9 @@ def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask,
         rows, n_surf, w, n_rows)
     a_spec = pl.BlockSpec((1, 1, n_surf, n_asph), lambda b, i: (b, 0, 0, 0),
                           memory_space=pltpu.SMEM)
-    out_shape = (
+    ref_spec = pl.BlockSpec((1, 1, n_surf + 1), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.SMEM)
+    out_shape = [
         jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
@@ -1031,7 +1237,15 @@ def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask,
         jax.ShapeDtypeStruct((B, 1, n_surf), jnp.float32),      # dt
         jax.ShapeDtypeStruct((B, 1, n_surf, w), jnp.float32),   # dmu
         jax.ShapeDtypeStruct((B, 1, n_surf, n_asph), jnp.float32),  # dasph
-    )
+    ]
+    out_specs = [ray_spec, ray_spec, ray_spec,
+                 z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec]
+    ref_in = []
+    if full:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, 1, n_surf + 1), jnp.float32))
+        out_specs.append(ref_spec)
+        ref_in = [ref_z.reshape(B, 1, -1).astype(jnp.float32)]
     scratch = [pltpu.VMEM((n_surf, 1, rows, LANES), jnp.float32)
                for _ in range(6)]
     scratch.append(pltpu.VMEM((n_surf, 1, rows, LANES), jnp.bool_))
@@ -1042,31 +1256,69 @@ def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask,
 
     outs = pl.pallas_call(
         partial(_bwd_kernel_ab, n_surf, w, rows, n_asph, penalties, n_iter,
-                allow_backward),
+                allow_backward, path_bounds, angle_thr),
         grid=grid,
         in_specs=[z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec,
-                  ct_spec,
-                  ray_spec, ray_spec, ray_spec,
-                  ray_spec, ray_spec, ray_spec, ray_spec]
+                  ct_spec] + [ref_spec] * len(ref_in)
+        + [ray_spec, ray_spec, ray_spec,
+           ray_spec, ray_spec, ray_spec, ray_spec]
         + [ray_spec] * len(pen_in),
-        out_specs=(ray_spec, ray_spec, ray_spec,
-                   z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec),
-        out_shape=out_shape,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch,
     )(z0.reshape(-1, 1, 1).astype(jnp.float32),
       c[:, None].astype(jnp.float32), kappa[:, None].astype(jnp.float32),
       t[:, None].astype(jnp.float32), mu[:, None].astype(jnp.float32),
       asph[:, None].astype(jnp.float32), _mask_array(mask, B, n_surf),
-      xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
+      *ref_in, xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
 
-    (dxp2, dyp2, dcy2o, dz0, dc, dkap, dt, dmu, dasph) = outs
+    (dxp2, dyp2, dcy2o, dz0, dc, dkap, dt, dmu, dasph) = outs[:9]
     unpad = lambda a: a.reshape(B, -1)[:, :n]
-    return (unpad(dxp2), unpad(dyp2), unpad(dcy2o),
-            dz0.reshape(jnp.shape(z0)), dc[:, 0], dkap[:, 0], dt[:, 0],
-            dmu[:, 0], dasph[:, 0])
+    grads = (unpad(dxp2), unpad(dyp2), unpad(dcy2o),
+             dz0.reshape(jnp.shape(z0)), dc[:, 0], dkap[:, 0], dt[:, 0],
+             dmu[:, 0], dasph[:, 0])
+    if full:
+        grads = grads + (outs[9][:, 0].reshape(jnp.shape(ref_z)),)
+    return grads
+
+
+def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask,
+                  residuals, cotangents):
+    return _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
+                       allow_backward, mask)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def trace_fused_asphere_batch_full(xp, yp, cy, z0, c, kappa, t, mu, asph,
+                                   ref_z, rows=BATCH_ROWS,
+                                   n_iter=NEWTON_ITERS, allow_backward=True,
+                                   mask=None, path_bounds=(),
+                                   angle_thr=0.25):
+    """``trace_fused_asphere_batch`` with the FULL weighted-loss penalty
+    set accumulated in-kernel (homogeneous aspherized populations; see
+    ``pallas_batch.trace_fused_batch_full`` for the contract)."""
+    return _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "full",
+                       n_iter, allow_backward, mask, ref_z, path_bounds,
+                       angle_thr)
+
+
+def _fused_full_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z, rows,
+                       n_iter, allow_backward, mask, path_bounds, angle_thr):
+    out = _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "full",
+                      n_iter, allow_backward, mask, ref_z, path_bounds,
+                      angle_thr)
+    return out, (xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z)
+
+
+def _fused_full_bwd_ab(rows, n_iter, allow_backward, mask, path_bounds,
+                       angle_thr, residuals, cotangents):
+    return _run_bwd_ab(residuals, cotangents, rows, "full", n_iter,
+                       allow_backward, mask, path_bounds, angle_thr)
 
 
 trace_fused_asphere_batch.defvjp(_fused_fwd_ab, _fused_bwd_ab)
+trace_fused_asphere_batch_full.defvjp(_fused_full_fwd_ab,
+                                      _fused_full_bwd_ab)
 
 
 def trace_rays_fused_asphere_batch(specs, lens, config,
@@ -1130,3 +1382,59 @@ def trace_rays_fused_asphere(specs, lens, config,
         lens.asph[0], rows, penalties, config.newton_iters,
         config.allow_backward_rays)
     return package_fused_result(outs, shape, penalties)
+
+
+def compute_losses_fused_asphere(specs, lens, config,
+                                 g=None, catalog_g=None,
+                                 key: Optional[jax.Array] = None,
+                                 rows: int = DEFAULT_ROWS):
+    """The FULL weighted loss on the fused conic/asphere kernel — the
+    asphere analogue of ``pallas_trace.compute_losses_fused`` (single
+    system). Returns (total, loss_dict) matching the XLA stacks path."""
+    import math as _math
+    from torchoptics_tpu.ops import metrics as metrics_mod
+    from torchoptics_tpu.ops.pallas_trace import (
+        _assert_fused_config, _path_bounds, compress_padded_tail,
+        package_fused_result, prepare_fused_inputs)
+    from torchoptics_tpu import simulator as sim_mod
+
+    cfg = config.trace_config()
+    assert lens.kappa is not None and lens.asph is not None, (
+        "compute_losses_fused_asphere expects kappa/asph")
+    lens = compress_padded_tail(lens)
+    _assert_fused_config(lens, cfg)
+
+    bounds = _path_bounds(lens.structure, config.ray_path_lower_thresholds,
+                          config.ray_path_upper_thresholds)
+    angle_thr = _math.cos(_math.radians(config.ray_angle_threshold)) ** 2
+
+    xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
+        specs, lens, cfg, key=key)
+    vertex_z = jnp.cumsum(lens.t[0])
+    ref_z = jnp.concatenate((vertex_z, vertex_z[-1:]))
+
+    outs = trace_fused_asphere_full(
+        xp, yp, cyb, z0, lens.c[0], lens.kappa[0], lens.t[0], mu,
+        lens.asph[0], ref_z, rows, cfg.newton_iters,
+        cfg.allow_backward_rays, bounds, angle_thr)
+    result = package_fused_result(outs[:6], shape, False)
+    pth, ptp, pz, ppath, pang = [p.reshape(shape) for p in outs[6:]]
+
+    n_rays = shape[1] * shape[2] * shape[3]
+    rms = metrics_mod.compute_rms2d(result.x, result.y, result.ray_ok)[0]
+    n_sequence = int(lens.structure.n_surfaces[0])
+    sumQ = (jnp.sum(pth) + jnp.sum(ptp) + jnp.sum(pz)) / n_sequence
+    Lu = rms + config.penalty_rate * sumQ
+    loss_dict = {
+        "loss_unsup": Lu, "rms": rms, "penalty": sumQ,
+        "spot_size": rms,
+        "ray_path": jnp.sum(ppath) / n_rays,
+        "ray_angle": jnp.sum(pang) / n_rays,
+    }
+    if g is not None:
+        loss_dict["glass"] = sim_mod.compute_glass_penalty(
+            lens.structure, g, catalog_g)
+    weights = config.loss_weights
+    total = sum(loss_dict[k] * w for k, w in weights.items()
+                if k in loss_dict and w is not None)
+    return total, loss_dict

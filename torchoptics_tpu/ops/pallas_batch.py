@@ -643,7 +643,6 @@ def batched_compute_losses_fused(specs, lens, config,
     from torchoptics_tpu import simulator as sim_mod
 
     cfg = config.trace_config()
-    assert lens.is_spherical, "batched fused full loss is spherical"
     assert len(set(lens.structure.sequence)) == 1, (
         "batched fused full loss expects a homogeneous population (one "
         "generator lens type); use trace_engine='unroll' for mixed batches")
@@ -657,10 +656,23 @@ def batched_compute_losses_fused(specs, lens, config,
     vertex_z = jnp.cumsum(lens.t, axis=1)                      # (B, S)
     ref_z = jnp.concatenate((vertex_z, vertex_z[:, -1:]), axis=1)
 
-    outs = trace_fused_batch_full(
-        xpb, ypb, cyb, z0, lens.c, lens.t, mu, ref_z, rows,
-        cfg.allow_backward_rays, _static_mask(lens.structure), bounds,
-        angle_thr)
+    if lens.is_spherical:
+        outs = trace_fused_batch_full(
+            xpb, ypb, cyb, z0, lens.c, lens.t, mu, ref_z, rows,
+            cfg.allow_backward_rays, _static_mask(lens.structure), bounds,
+            angle_thr)
+    else:
+        from torchoptics_tpu.ops import pallas_asphere
+        lens_a = lens
+        if lens_a.kappa is None:
+            lens_a = lens_a.replace(kappa=jnp.zeros_like(lens_a.c))
+        if lens_a.asph is None:
+            lens_a = lens_a.replace(asph=jnp.zeros(lens_a.c.shape + (1,)))
+        outs = pallas_asphere.trace_fused_asphere_batch_full(
+            xpb, ypb, cyb, z0, lens_a.c, lens_a.kappa, lens_a.t, mu,
+            lens_a.asph, ref_z, rows, cfg.newton_iters,
+            cfg.allow_backward_rays, _static_mask(lens.structure), bounds,
+            angle_thr)
     from torchoptics_tpu.ops import trace as trace_mod
     x, y, cx, cy_o, ok, bw = [o.reshape(shape) for o in outs[:6]]
     result = trace_mod.TraceResult(x, y, cx, cy_o, ok, bw, None)

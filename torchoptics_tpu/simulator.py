@@ -280,15 +280,23 @@ def compute_losses(specs: Specs, lens: Lens, config: SimulatorConfig,
             from torchoptics_tpu.ops import pallas_trace
             return pallas_trace.compute_losses_fused(
                 specs, lens, config, g=g, catalog_g=catalog_g, key=key)
-        if (lens.is_spherical
-                and len(set(lens.structure.sequence)) == 1):
+        if len(lens) == 1:
+            from torchoptics_tpu.ops import pallas_asphere
+            lens_a = lens
+            if lens_a.kappa is None:
+                lens_a = lens_a.replace(kappa=jnp.zeros_like(lens_a.c))
+            if lens_a.asph is None:
+                lens_a = lens_a.replace(asph=jnp.zeros(lens_a.c.shape + (1,)))
+            return pallas_asphere.compute_losses_fused_asphere(
+                specs, lens_a, config, g=g, catalog_g=catalog_g, key=key)
+        if len(set(lens.structure.sequence)) == 1:
             from torchoptics_tpu.ops import pallas_batch
             return pallas_batch.batched_compute_losses_fused(
                 specs, lens, config, g=g, catalog_g=catalog_g, key=key)
         raise NotImplementedError(
-            "fused compute_losses covers spherical systems (single, or "
-            "homogeneous populations); use trace_engine='unroll' for "
-            "aspheres or mixed-sequence batches")
+            "fused compute_losses covers single systems and homogeneous "
+            "populations (spherical or conic/asphere); use "
+            "trace_engine='unroll' for mixed-sequence batches")
     res = trace_mod.trace_rays(
         specs, lens, cfg, key=key,
         aggregate=("z", "cos2", "cos2_prime") + trace_mod.AGG_TORCH)
