@@ -95,6 +95,30 @@ def test_psnr_ssim():
     assert float(img_mod.ssim(a, noisy)[0]) < 1.0
 
 
+def test_ssim_matches_tf_image_ssim_goldens():
+    """Golden values precomputed with tf.image.ssim 2.21 (Gaussian 11x11
+    window, sigma=1.5 — the reference's metric,
+    `optics_simulator_lite.py:303`) on these exact seeded fixtures."""
+    rng = np.random.default_rng(42)
+    x = np.linspace(0, 1, 48)
+    base = np.sin(8 * x)[:, None] * np.cos(5 * x)[None, :] * 0.5 + 0.5
+    a = np.stack([base, base ** 2, np.sqrt(base)], axis=-1) * 255.0
+    noise = rng.normal(0, 12.0, a.shape)
+    b = np.clip(a + noise, 0, 255)
+    a = a.astype(np.float32)[None]
+    b = b.astype(np.float32)[None]
+    assert float(img_mod.ssim(a, b, 255.0)[0]) == pytest.approx(
+        0.77833, abs=2e-5)
+    assert float(img_mod.psnr(a, b, 255.0)[0]) == pytest.approx(
+        26.729393, abs=1e-4)
+
+    c = rng.uniform(0, 1, (1, 40, 40, 1)).astype(np.float32)
+    d = np.clip(c + rng.normal(0, 0.05, c.shape), 0, 1).astype(np.float32)
+    assert float(img_mod.ssim(c, d, 1.0)[0]) == pytest.approx(
+        0.98401785, abs=2e-5)
+    assert float(img_mod.ssim(c, c, 1.0)[0]) == pytest.approx(1.0, abs=1e-6)
+
+
 def test_linear_interpolation():
     vals = jnp.asarray([0.0, 1.0, 4.0])
     got = img_mod.linear_interpolation(jnp.asarray([0.5, 1.5, 2.0]), vals)

@@ -72,6 +72,25 @@ def test_unsupervised_batch_vmapped():
     assert not np.isclose(float(loss), float(l0))
 
 
+def test_unsupervised_jitted_caller():
+    """jit(loss) with an explicit static stop_idx works; omitting stop_idx
+    under trace raises a clear error instead of a TracerArrayConversionError
+    (the r2 footgun, `loss.py:211`)."""
+    ol = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)
+    inputs, outputs = _make_ga_sample()
+    inputs_b = jnp.stack([inputs, inputs])
+    outputs_b = jnp.stack([outputs, outputs.at[2].set(0.3)])
+
+    jitted = jax.jit(lambda i, o: ol.unsupervised(i, o, stop_idx=1))
+    loss, rms, penalty = jitted(inputs_b, outputs_b)
+    assert np.isfinite(float(loss))
+    eager_loss, *_ = ol.unsupervised(inputs_b, outputs_b)
+    np.testing.assert_allclose(float(loss), float(eager_loss), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="stop_idx"):
+        jax.jit(lambda i, o: ol.unsupervised(i, o))(inputs_b, outputs_b)
+
+
 def test_unsupervised_gradients_flow_to_generator_outputs():
     ol = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)
     inputs, outputs = _make_ga_sample()

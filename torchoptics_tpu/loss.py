@@ -209,6 +209,15 @@ class OpticalLoss:
         kernel launch (ops.pallas_batch).
         """
         if stop_idx is None:
+            if isinstance(inputs, jax.core.Tracer):
+                raise ValueError(
+                    "OpticalLoss.unsupervised was called under "
+                    "jit/vmap/grad without an explicit stop_idx. The "
+                    "aperture-stop index fixes the compiled program's "
+                    "structure, so it cannot be read out of a traced input "
+                    "tensor (the reference keeps it in input slot -3, "
+                    "`optical_loss.py:63`); pass stop_idx=<python int> "
+                    "from the host instead.")
             stop_idx = int(np.asarray(inputs[0, -3]))
         if engine == "pallas":
             from torchoptics_tpu.ops import pallas_batch

@@ -204,10 +204,18 @@ def psnr(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 255.0) -> jnp.ndarray:
     return 10.0 * jnp.log10(max_val ** 2 / jnp.maximum(mse, 1e-20))
 
 
-def _avg_pool_11(x: jnp.ndarray) -> jnp.ndarray:
-    """11x11 mean filter with VALID padding over (B, H, W, C)."""
-    k = 11
-    w = jnp.ones((k, k, 1, 1), x.dtype) / (k * k)
+def _ssim_window(filter_size: int, filter_sigma: float) -> np.ndarray:
+    """Normalized Gaussian SSIM window (the `tf.image.ssim` default:
+    11x11, sigma = 1.5)."""
+    offsets = np.arange(filter_size, dtype=np.float64) - (filter_size - 1) / 2
+    g = np.exp(-0.5 * (offsets / filter_sigma) ** 2)
+    w2d = g[:, None] * g[None, :]
+    return (w2d / w2d.sum()).astype(np.float32)
+
+
+def _ssim_filter(x: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
+    """Per-channel VALID-padded filter over (B, H, W, C)."""
+    w = jnp.asarray(window, x.dtype)[:, :, None, None]
     return jax.lax.conv_general_dilated(
         x, jnp.tile(w, (1, 1, 1, x.shape[-1])),
         window_strides=(1, 1), padding="VALID",
@@ -215,15 +223,21 @@ def _avg_pool_11(x: jnp.ndarray) -> jnp.ndarray:
         feature_group_count=x.shape[-1])
 
 
-def ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 255.0) -> jnp.ndarray:
-    """Mean structural similarity (11x11 uniform window), per batch element."""
-    c1 = (0.01 * max_val) ** 2
-    c2 = (0.03 * max_val) ** 2
-    mu_a = _avg_pool_11(a)
-    mu_b = _avg_pool_11(b)
-    var_a = _avg_pool_11(a * a) - mu_a ** 2
-    var_b = _avg_pool_11(b * b) - mu_b ** 2
-    cov = _avg_pool_11(a * b) - mu_a * mu_b
+def ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 255.0,
+         filter_size: int = 11, filter_sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
+    """Mean structural similarity per batch element, matching
+    ``tf.image.ssim`` (the reference's metric,
+    `optics_simulator_lite.py:303`): Gaussian 11x11 window with sigma = 1.5,
+    VALID padding, per-channel filtering, mean over space and channels."""
+    window = _ssim_window(filter_size, filter_sigma)
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    mu_a = _ssim_filter(a, window)
+    mu_b = _ssim_filter(b, window)
+    var_a = _ssim_filter(a * a, window) - mu_a ** 2
+    var_b = _ssim_filter(b * b, window) - mu_b ** 2
+    cov = _ssim_filter(a * b, window) - mu_a * mu_b
     s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)
          / ((mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2)))
     return jnp.mean(s, axis=(-3, -2, -1))
