@@ -281,3 +281,48 @@ def test_fuzz_asphere_engine_vs_kernel(seed):
         np.testing.assert_allclose(np.asarray(r_p.y)[ok],
                                    np.asarray(r_u.y)[ok],
                                    rtol=1e-4, atol=2e-5, err_msg=str(seed))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_heterogeneous_full_loss_pallas(seed):
+    """Mixed-sequence populations run the FULL weighted loss fused: a
+    host-side group-by sequence, one batched-kernel launch per lens type,
+    recombined with per-group weights B_g/B (VERDICT r2 #2). Values and
+    gradients must match the XLA engine's whole-batch reductions."""
+    from torchoptics_tpu import simulator as sim_mod
+    rng = np.random.default_rng(700 + seed)
+    seqs = MIXED_BATCHES[seed % len(MIXED_BATCHES)]
+    specs, lens, _ = random_mixed_batch(rng, seqs)
+    mk = lambda engine: sim_mod.SimulatorConfig(
+        n_sampled_fields=3, n_pupil_rings=4, pupil_sampling="circular",
+        n_ray_aiming_iter=1, wavelengths=(459.0, 520.0, 640.0),
+        trace_engine=engine)
+    tot_x, d_x = sim_mod.compute_losses(specs, lens, mk("unroll"))
+    with pltpu.force_tpu_interpret_mode():
+        tot_p, d_p = sim_mod.compute_losses(specs, lens, mk("pallas"))
+    np.testing.assert_allclose(float(tot_p), float(tot_x), rtol=5e-4,
+                               err_msg=str(seed))
+    for k in d_x:
+        np.testing.assert_allclose(float(d_p[k]), float(d_x[k]),
+                                   rtol=5e-4, atol=1e-5,
+                                   err_msg=f"{seed}:{k}")
+
+    def total(c, engine):
+        tot, _ = sim_mod.compute_losses(specs, lens.replace(c=c), mk(engine))
+        return tot
+
+    g_x = jax.grad(lambda c: total(c, "unroll"))(lens.c)
+    with pltpu.force_tpu_interpret_mode():
+        g_p = jax.grad(lambda c: total(c, "pallas"))(lens.c)
+    # Compare REAL surface slots only: the padded XLA trace runs phantom
+    # surfaces, so d/dc at padding slots is nonzero there, while the grouped
+    # fused path traces each group at natural length (grad exactly 0 — the
+    # reference's per-sample semantics). Padding slots are never trainable
+    # (find_valid_curvatures masks them), so only real slots matter.
+    m = lens.structure.mask
+    assert np.all(np.asarray(g_p)[~m] == 0.0), str(seed)
+    scale = np.abs(np.asarray(g_x)[m]).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(g_p)[m] / scale,
+                               np.asarray(g_x)[m] / scale,
+                               atol=1e-3, err_msg=str(seed))

@@ -118,3 +118,50 @@ def test_real_photo_render():
     _, psnr_bad, _ = imaging.simulate(specs, lens_bad, jnp.asarray(radiance),
                                       CFG)
     assert float(psnr_bad[0]) < float(psnr[0])
+
+
+@pytest.mark.slow
+def test_optimize_through_image_quality():
+    """Close the loop the upstream paper exists for (VERDICT r2 #4): Adam on
+    (c, t) against -PSNR of the RENDERED image (reference training intent,
+    `optics_simulator_lite.py:325-343`) recovers a defocused lens — finite
+    gradients through trace -> PSF -> SVOLA -> warp, and monotone-ish image
+    quality recovery."""
+    from torchoptics_tpu import optimize as opt_mod
+    from torchoptics_tpu.utils import images as img_util
+
+    radiance = jnp.asarray(
+        img_util.load_test_image((48, 48), prefer_real=True)[None])
+    specs, lens = zoo.build("cooke")
+    efl = float(lens.efl[0])
+    # 1.0 mm: ~2 dB down, and inside the PSF sampling window so the
+    # objective still sees the blur (beyond ~2 mm the 17x17 window clips the
+    # spot and renormalization hides the defocus from PSNR entirely).
+    lens_bad = lens.replace(t=lens.t.at[0, -1].add(1.0))
+
+    _, psnr_bad, ssim_bad = imaging.simulate(specs, lens_bad, radiance, CFG)
+    _, psnr_nom, _ = imaging.simulate(specs, lens, radiance, CFG)
+    assert float(psnr_bad[0]) < float(psnr_nom[0]) - 1.0  # really degraded
+
+    optimizer = opt_mod.LensOptimizer(
+        specs=specs, config=CFG, learning_rate=2e-3, trainable=("c", "t"),
+        qc_variables=False, efl_target=efl,
+        loss_fn=imaging.make_image_loss_fn(radiance, ssim_weight=10.0))
+    state = optimizer.init(lens_bad)
+    history = []
+    for _ in range(25):
+        state, total, loss_dict = optimizer.step(state)
+        assert np.isfinite(float(total))
+        history.append(float(loss_dict["psnr"]))
+
+    # Image quality recovers: best PSNR beats the defocused start by > 1 dB
+    # and the tail of the run is better than the head (monotone recovery up
+    # to Adam noise).
+    assert max(history) > float(psnr_bad[0]) + 1.0, history
+    assert np.mean(history[-5:]) > np.mean(history[:5]), history
+
+    # Gradients reach every trainable group through the image chain.
+    grads = jax.grad(lambda p: optimizer.loss(p)[0])(state.params)
+    for k in ("c", "t"):
+        arr = np.asarray(grads[k])
+        assert np.isfinite(arr).all() and np.abs(arr).max() > 0, k

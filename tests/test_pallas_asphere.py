@@ -10,6 +10,11 @@ from torchoptics_tpu import metrics, trace, zoo
 from torchoptics_tpu.models.structure import Lens, Structure
 from torchoptics_tpu.ops import pallas_asphere as pa
 
+# Interpret-mode kernel parity is exhaustive and multi-minute; the fast
+# profile (pytest -m 'not slow') keeps kernel coverage via the unmarked
+# fuzz tests in test_fuzz_engines.py.
+pytestmark = pytest.mark.slow
+
 
 def _asphere_cooke():
     p = zoo.get_prescription("cooke")

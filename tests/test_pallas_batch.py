@@ -11,6 +11,11 @@ from torchoptics_tpu import simulator as sim
 from torchoptics_tpu.models.structure import Lens, Specs, Structure
 from torchoptics_tpu.ops import pallas_batch as pb
 
+# Interpret-mode kernel parity is exhaustive and multi-minute; the fast
+# profile (pytest -m 'not slow') keeps kernel coverage via the unmarked
+# fuzz tests in test_fuzz_engines.py.
+pytestmark = pytest.mark.slow
+
 
 def _population(n=3, name="cooke", seed=0):
     """A batch of same-structure lenses with perturbed parameters."""

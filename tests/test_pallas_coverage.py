@@ -17,6 +17,11 @@ from torchoptics_tpu.models.structure import Lens, Specs, Structure
 
 from tests.test_fuzz_engines import random_mixed_batch, random_system
 
+# Interpret-mode kernel parity is exhaustive and multi-minute; the fast
+# profile (pytest -m 'not slow') keeps kernel coverage via the unmarked
+# fuzz tests in test_fuzz_engines.py.
+pytestmark = pytest.mark.slow
+
 VIG_FN = lambda fields, coeff: coeff  # reference-style constant vignetting
 
 

@@ -11,6 +11,11 @@ from jax.experimental.pallas import tpu as pltpu
 from torchoptics_tpu import metrics, trace, zoo
 from torchoptics_tpu.ops import pallas_trace as pt
 
+# Interpret-mode kernel parity is exhaustive and multi-minute; the fast
+# profile (pytest -m 'not slow') keeps kernel coverage via the unmarked
+# fuzz tests in test_fuzz_engines.py.
+pytestmark = pytest.mark.slow
+
 
 CFG = trace.TraceConfig(mode="circular", n_rays=(8, 8),
                         rel_fields=(0.0, 0.707, 1.0),

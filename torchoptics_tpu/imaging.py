@@ -188,3 +188,44 @@ def simulate(specs: Specs, lens: Lens, radiance: jnp.ndarray,
         field_lim = sample_field_lim(radiance.shape[1], radiance.shape[2],
                                      config.simulated_res_factor, roi_index)
     return apply_optics_model(model, radiance, field_lim, config)
+
+
+def image_quality_loss(specs: Specs, lens: Lens, radiance: jnp.ndarray,
+                       config: sim_mod.SimulatorConfig,
+                       key: Optional[jax.Array] = None,
+                       field_lim=None, roi_index: int = 0,
+                       ssim_weight: float = 0.0,
+                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Differentiable image-quality objective for lens design: ``-PSNR +
+    ssim_weight · (1 - SSIM)`` of the rendered sensor image against the
+    ideal radiance (expected in [0, 255]).
+
+    This closes the loop the reference's training forward exists for
+    (`optics_simulator_lite.py:325-343` logs PSNR/SSIM of
+    ``apply_optics_model`` output as optimization metrics — lens design
+    driven by rendered image quality, the premise of arXiv:2212.04441; the
+    path is dormant there). Gradients flow through the full
+    trace → PSF soft-histogram → SVOLA convolution → warp chain.
+
+    Returns ``(total, {"psnr", "ssim", "image_loss"})``.
+    """
+    _, psnr, ssim = simulate(specs, lens, radiance, config, key=key,
+                             field_lim=field_lim, roi_index=roi_index)
+    psnr = jnp.mean(psnr)       # batch mean -> scalar objective
+    ssim = jnp.mean(ssim)
+    total = -psnr + ssim_weight * (1.0 - ssim)
+    return total, {"psnr": psnr, "ssim": ssim, "image_loss": total}
+
+
+def make_image_loss_fn(radiance: jnp.ndarray, ssim_weight: float = 0.0,
+                       field_lim=None, roi_index: int = 0):
+    """Adapt :func:`image_quality_loss` to the ``LensOptimizer.loss_fn``
+    override signature ``(specs, lens, config, g, catalog_g, key)`` so a
+    stock :class:`~torchoptics_tpu.optimize.LensOptimizer` runs Adam on
+    rendered image quality instead of the ray-space loss."""
+    def loss_fn(specs, lens, config, g, catalog_g, key):
+        del g, catalog_g
+        return image_quality_loss(specs, lens, radiance, config, key=key,
+                                  field_lim=field_lim, roi_index=roi_index,
+                                  ssim_weight=ssim_weight)
+    return loss_fn

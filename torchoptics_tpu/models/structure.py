@@ -170,7 +170,10 @@ class Structure:
     def __getitem__(self, index) -> "Structure":
         if isinstance(index, int):
             index = slice(index, index + 1)
-        idx = range(len(self))[index]
+        if isinstance(index, slice):
+            idx = range(len(self))[index]
+        else:  # host-side fancy index (list/np.ndarray of system rows)
+            idx = [int(i) for i in np.asarray(index).reshape(-1)]
         seqs = tuple(self.sequence[i] for i in idx)
         return Structure(tuple(self.stop_idx[i] for i in idx), seqs)
 

@@ -132,6 +132,11 @@ class LensOptimizer:
     trainable: Tuple[str, ...] = ("c", "t", "g")
     catalog_g: Optional[jnp.ndarray] = None
     efl_target: Optional[float] = None
+    # Optional objective override with the compute_losses signature
+    # (specs, lens, config, g, catalog_g, key) -> (total, loss_dict);
+    # used by parallel.shard.make_sharded_train_step to route the loss
+    # through the shard_map-wrapped fused Pallas kernels.
+    loss_fn: Optional[Callable] = None
 
     def __post_init__(self):
         if self.catalog_g is None and self.qc_variables:
@@ -159,6 +164,10 @@ class LensOptimizer:
              ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         lens = self.build_lens(params)
         specs = self.specs
+        if self.loss_fn is not None:
+            return self.loss_fn(specs, lens, self.config,
+                                params["g"] / self.scale_factor,
+                                self.catalog_g, key)
         if self.use_full_loss:
             total, loss_dict = sim_mod.compute_losses(
                 specs, lens, self.config, g=params["g"] / self.scale_factor,

@@ -169,7 +169,9 @@ def compute_glass_penalty(structure: Structure, g: jnp.ndarray,
 
 
 def compute_loss_out(res: trace_mod.TraceResult, n_sequence,
-                     penalty_rate: float) -> Dict[str, jnp.ndarray]:
+                     penalty_rate: float,
+                     surface_mask: Optional[jnp.ndarray] = None,
+                     ) -> Dict[str, jnp.ndarray]:
     """Unsupervised loss Lu = rms + rate * ΣQ with
     Q = (Σθ + Σθ' + Σrelu(z)) / n_surfaces, NaN→0
     (`optics_simulator_lite.py:430-450`). The reference is single-system;
@@ -179,15 +181,24 @@ def compute_loss_out(res: trace_mod.TraceResult, n_sequence,
 
     ``n_sequence`` is a scalar or a per-system (B,) array of surface counts
     (pass ``lens.structure.n_surfaces`` for padded heterogeneous batches).
+    ``surface_mask`` (B, S) restricts the per-surface penalty sums to each
+    system's REAL surfaces: the reference's loop traces every sample at its
+    natural length (`optical_loss.py:105-111`), so padding surfaces of a
+    heterogeneous batch must contribute nothing (θ_norm is pinned to 1 on
+    failed lanes and nonzero for oblique straight-through rays, so an
+    unmasked padded row would be systematically inflated).
     Requires the trace to have been run with ``aggregate`` ⊇ AGG_TORCH."""
     rms_b = metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)  # (B,)
     stacks = res.stacks
     n_seq = jnp.asarray(n_sequence, dtype=res.x.dtype)
     if n_seq.ndim:  # per-system counts -> broadcast over (B, F, P, W)
         n_seq = n_seq.reshape(-1, 1, 1, 1)
-    Q = (jnp.sum(stacks["theta_norm"], axis=0)
-         + jnp.sum(stacks["theta_prime_norm"], axis=0)
-         + jnp.sum(stacks["z_RELU"], axis=0)) / n_seq
+    per_surf = (stacks["theta_norm"] + stacks["theta_prime_norm"]
+                + stacks["z_RELU"])                     # (S, B, F, P, W)
+    if surface_mask is not None:
+        m = jnp.moveaxis(jnp.asarray(surface_mask), 1, 0)  # (S, B)
+        per_surf = jnp.where(m[:, :, None, None, None], per_surf, 0.0)
+    Q = jnp.sum(per_surf, axis=0) / n_seq
     Q = jnp.where(jnp.isnan(Q), 0.0, Q)
     sumQ_b = jnp.sum(Q, axis=(1, 2, 3))                          # (B,)
     Lu_b = rms_b + penalty_rate * sumQ_b
@@ -257,7 +268,8 @@ def do_ray_tracing(specs: Specs, lens: Lens, config: SimulatorConfig,
         return _do_ray_tracing_fused(specs, lens, config, key)
     res = trace_mod.trace_rays(specs, lens, cfg, key=key, aggregate=aggregate)
     loss_dict = compute_loss_out(res, lens.structure.n_surfaces,
-                                 config.penalty_rate)
+                                 config.penalty_rate,
+                                 surface_mask=lens.structure.mask_jnp)
     return res, loss_dict
 
 
@@ -293,22 +305,26 @@ def compute_losses(specs: Specs, lens: Lens, config: SimulatorConfig,
             from torchoptics_tpu.ops import pallas_batch
             return pallas_batch.batched_compute_losses_fused(
                 specs, lens, config, g=g, catalog_g=catalog_g, key=key)
-        raise NotImplementedError(
-            "fused compute_losses covers single systems and homogeneous "
-            "populations (spherical or conic/asphere); use "
-            "trace_engine='unroll' for mixed-sequence batches")
+        return _compute_losses_fused_grouped(specs, lens, config, g,
+                                             catalog_g, key)
     res = trace_mod.trace_rays(
         specs, lens, cfg, key=key,
         aggregate=("z", "cos2", "cos2_prime") + trace_mod.AGG_TORCH)
     loss_dict = compute_loss_out(res, lens.structure.n_surfaces,
-                                 config.penalty_rate)
+                                 config.penalty_rate,
+                                 surface_mask=lens.structure.mask_jnp)
     loss_dict["spot_size"] = jnp.mean(
         metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok))
     loss_dict["ray_path"] = compute_ray_path_penalty(
         lens, res.stacks["z"], config.ray_path_lower_thresholds,
         config.ray_path_upper_thresholds)
+    # Padding surfaces of heterogeneous batches are straight-through no-ops;
+    # pin their cos² to 1 so the angle hinge never fires on them (the
+    # reference traces each sample at natural length, `optical_loss.py:105`).
+    m_s = jnp.moveaxis(lens.structure.mask_jnp, 1, 0)[:, :, None, None, None]
     cos2 = jnp.concatenate((res.stacks["cos2"], res.stacks["cos2_prime"]),
                            axis=0)
+    cos2 = jnp.where(jnp.concatenate((m_s, m_s), axis=0), cos2, 1.0)
     loss_dict["ray_angle"] = compute_ray_angle_penalty(
         cos2, config.ray_angle_threshold)
     if g is not None:
@@ -318,6 +334,50 @@ def compute_losses(specs: Specs, lens: Lens, config: SimulatorConfig,
     total = sum(loss_dict[k] * w for k, w in weights.items()
                 if k in loss_dict and w is not None)
     return total, loss_dict
+
+
+def _compute_losses_fused_grouped(specs: Specs, lens: Lens,
+                                  config: SimulatorConfig,
+                                  g: Optional[jnp.ndarray],
+                                  catalog_g: Optional[jnp.ndarray],
+                                  key: Optional[jax.Array]
+                                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Fused full loss for a MIXED-sequence population: host-side group-by
+    ``sequence`` (static), one batched-kernel launch per lens type at its
+    natural surface count, recombined per-system.
+
+    All loss entries are means over systems (or over all rays, uniformly
+    shaped across groups), so each group's contribution carries weight
+    ``B_g / B`` — exactly the XLA path's whole-batch reductions and the
+    reference's per-sample loop semantics (`optical_loss.py:99-122`).
+    The glass penalty depends only on ``g``, not the trace, and is computed
+    once on the full population."""
+    from torchoptics_tpu.ops import pallas_batch
+
+    groups: Dict[str, list] = {}
+    for i, s in enumerate(lens.structure.sequence):
+        groups.setdefault(s, []).append(i)
+    B = len(lens)
+    keys = (jax.random.split(key, len(groups)) if key is not None
+            else [None] * len(groups))
+
+    combined = {k: jnp.asarray(0.0)
+                for k in ("loss_unsup", "rms", "penalty", "spot_size",
+                          "ray_path", "ray_angle")}
+    for sub_key, idx in zip(keys, groups.values()):
+        idx = np.asarray(idx)
+        _, d = pallas_batch.batched_compute_losses_fused(
+            specs[idx], lens[idx], config, key=sub_key)
+        wgt = len(idx) / B
+        for k in combined:
+            combined[k] = combined[k] + d[k] * wgt
+    if g is not None:
+        combined["glass"] = compute_glass_penalty(lens.structure, g,
+                                                  catalog_g)
+    weights = config.loss_weights
+    total = sum(combined[k] * w for k, w in weights.items()
+                if k in combined and w is not None)
+    return total, combined
 
 
 def unsupervised_loss(specs: Specs, lens: Lens, config: SimulatorConfig,
