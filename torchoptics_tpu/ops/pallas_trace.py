@@ -36,13 +36,21 @@ LANES = 128
 DEFAULT_ROWS = 32  # rows per tile => 32*128 = 4096 rays/tile
 
 
-def _widx(i, rows, w):
-    """Wavelength index of each ray in the (rows, 128) tile of grid step i
-    (wavelength is innermost in the flattened ray order)."""
+def _widx(i, rows, w, n_per_w=None):
+    """Wavelength index of each ray in the (rows, 128) tile of grid step i.
+
+    ``n_per_w=None``: wavelength innermost in the flat ray order (λ = i%W —
+    the layout of a broadcast (F, P, W) block). Static ``n_per_w``:
+    wavelength OUTERMOST (λ = i//n_per_w, clamped for the padded tail) —
+    the layout of a (W, F, P) block, whose flatten is relayout-free on TPU
+    (the W-inner flatten costs a ~10× slower strided relayout because W
+    lands in the 128-lane minor dimension)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     flat = (i * rows + row) * LANES + col
-    return flat % w
+    if n_per_w is None:
+        return flat % w
+    return jnp.minimum(flat // n_per_w, w - 1)
 
 
 def _mu_of(mu_ref, k, widx, w):
@@ -293,7 +301,7 @@ def _hinge_grad(delta, lo, hi):
 
 
 def _fwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
-                angle_thr, z0_ref, c_ref, t_ref, mu_ref, *refs):
+                angle_thr, n_per_w, z0_ref, c_ref, t_ref, mu_ref, *refs):
     full = penalties == "full"
     if full:
         ref_ref, xp_ref, yp_ref, cy_ref, *outs = refs
@@ -307,7 +315,7 @@ def _fwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
         xp_ref, yp_ref, cy_ref, *outs = refs
         x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
     i = pl.program_id(0)
-    widx = _widx(i, rows, w)
+    widx = _widx(i, rows, w, n_per_w)
     x = xp_ref[...]
     y = yp_ref[...]
     cy = cy_ref[...]
@@ -392,7 +400,7 @@ _N_LOC_BOOL = len(_LOC_BOOL)
 
 
 def _bwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
-                angle_thr, z0_ref, c_ref, t_ref, mu_ref, *rest):
+                angle_thr, n_per_w, z0_ref, c_ref, t_ref, mu_ref, *rest):
     full = penalties == "full"
     ref_ref = None
     if full:
@@ -417,7 +425,7 @@ def _bwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
          st_locf, st_locb) = rest
         dpth_ref = dptp_ref = dpz_ref = None
     i = pl.program_id(0)
-    widx = _widx(i, rows, w)
+    widx = _widx(i, rows, w, n_per_w)
 
     # ---- recompute forward, stashing pre-surface states in VMEM ----
     x = xp_ref[...]
@@ -572,9 +580,9 @@ def _pad_len(n: int, rows: int) -> int:
     return int(math.ceil(n / tile) * tile)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def trace_fused(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS,
-                penalties=False, allow_backward=True):
+                penalties=False, allow_backward=True, n_per_w=None):
     """Fused spherical trace of a flat ray block on one chip.
 
     Args:
@@ -594,12 +602,13 @@ def trace_fused(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS,
     pen_zrelu]), each (N,).
     """
     return _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties,
-                    allow_backward)
+                    allow_backward, n_per_w=n_per_w)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def trace_fused_full(xp, yp, cy, z0, c, t, mu, ref_z, rows=DEFAULT_ROWS,
-                     allow_backward=True, path_bounds=(), angle_thr=0.25):
+                     allow_backward=True, path_bounds=(), angle_thr=0.25,
+                     n_per_w=None):
     """``trace_fused`` with the FULL weighted-loss penalty set accumulated
     in-kernel: the Lu terms plus the ray-path hinge (vs ``ref_z`` absolute
     vertex positions and static per-gap ``path_bounds`` (lo, hi) tuples,
@@ -611,11 +620,11 @@ def trace_fused_full(xp, yp, cy, z0, c, t, mu, ref_z, rows=DEFAULT_ROWS,
     (pen_theta, pen_theta_p, pen_zrelu, pen_path, pen_angle), each (N,).
     """
     return _run_fwd(xp, yp, cy, z0, c, t, mu, rows, "full", allow_backward,
-                    ref_z, path_bounds, angle_thr)
+                    ref_z, path_bounds, angle_thr, n_per_w)
 
 
 def _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
-             ref_z=None, path_bounds=None, angle_thr=None):
+             ref_z=None, path_bounds=None, angle_thr=None, n_per_w=None):
     full = penalties == "full"
     n = xp.shape[0]
     n_surf = c.shape[0]
@@ -643,7 +652,7 @@ def _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
 
     outs = pl.pallas_call(
         partial(_fwd_kernel, n_surf, w, rows, penalties, allow_backward,
-                path_bounds, angle_thr),
+                path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[smem] * (4 + len(ref_in)) + [ray_spec] * 3,
         out_specs=tuple([ray_spec] * len(out_shapes)),
@@ -656,20 +665,22 @@ def _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
     return tuple(unpad(o) for o in outs)
 
 
-def _fused_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward):
-    out = _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward)
+def _fused_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
+               n_per_w):
+    out = _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
+                   n_per_w=n_per_w)
     return out, (xp, yp, cy, z0, c, t, mu)
 
 
 def _fused_full_fwd(xp, yp, cy, z0, c, t, mu, ref_z, rows, allow_backward,
-                    path_bounds, angle_thr):
+                    path_bounds, angle_thr, n_per_w):
     out = _run_fwd(xp, yp, cy, z0, c, t, mu, rows, "full", allow_backward,
-                   ref_z, path_bounds, angle_thr)
+                   ref_z, path_bounds, angle_thr, n_per_w)
     return out, (xp, yp, cy, z0, c, t, mu, ref_z)
 
 
 def _run_bwd(residuals, cotangents, rows, penalties, allow_backward,
-             path_bounds=None, angle_thr=None):
+             path_bounds=None, angle_thr=None, n_per_w=None):
     full = penalties == "full"
     if full:
         xp, yp, cy, z0, c, t, mu, ref_z = residuals
@@ -743,7 +754,7 @@ def _run_bwd(residuals, cotangents, rows, penalties, allow_backward,
 
     outs = pl.pallas_call(
         partial(_bwd_kernel, n_surf, w, rows, penalties, allow_backward,
-                path_bounds, angle_thr),
+                path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[smem] * (4 + len(ref_in))
         + [ray_spec] * (7 + len(pen_in)),
@@ -770,14 +781,16 @@ def _run_bwd(residuals, cotangents, rows, penalties, allow_backward,
     return grads
 
 
-def _fused_bwd(rows, penalties, allow_backward, residuals, cotangents):
-    return _run_bwd(residuals, cotangents, rows, penalties, allow_backward)
+def _fused_bwd(rows, penalties, allow_backward, n_per_w, residuals,
+               cotangents):
+    return _run_bwd(residuals, cotangents, rows, penalties, allow_backward,
+                    n_per_w=n_per_w)
 
 
-def _fused_full_bwd(rows, allow_backward, path_bounds, angle_thr,
+def _fused_full_bwd(rows, allow_backward, path_bounds, angle_thr, n_per_w,
                     residuals, cotangents):
     return _run_bwd(residuals, cotangents, rows, "full", allow_backward,
-                    path_bounds, angle_thr)
+                    path_bounds, angle_thr, n_per_w)
 
 
 trace_fused.defvjp(_fused_fwd, _fused_bwd)
@@ -822,11 +835,19 @@ def compress_padded_tail(lens):
 
 
 def prepare_fused_inputs(specs, lens, config, key=None, xy=None,
-                         use_vig=True):
+                         use_vig=True, w_order="inner"):
     """Shared front-end for the fused wrappers (spherical and asphere):
     dispersion, pupil placement, sampling, vignetting, ray aiming (jnp
     engine, stop-gradient), EPD scaling, and the flatten to the kernel's ray
-    order (wavelength innermost).
+    order.
+
+    ``w_order="inner"`` (default) flattens a broadcast (F, P, W) block —
+    wavelength innermost, matching ``trace_rays``'s result layout but
+    costing a strided relayout on TPU (W=3 lands in the 128-lane minor
+    dim). ``w_order="outer"`` flattens (W, F, P) — a relayout-free
+    broadcast (~10× cheaper front-end); pair it with the kernels'
+    ``n_per_w=F*P`` wavelength indexing and the flat-layout reductions
+    (``rms2d_flat_wouter``).
 
     Returns (xp_flat, yp_flat, cy_flat, z0, mu, (1, F, P, W))."""
     from torchoptics_tpu.ops import abcd as abcd_mod
@@ -843,6 +864,66 @@ def prepare_fused_inputs(specs, lens, config, key=None, xy=None,
             config.mode, config.n_rays, 1, key=key)
     else:
         xp_rel, yp_rel = xy
+
+    F = len(config.rel_fields)
+    W = len(config.wavelengths)
+
+    if w_order == "outer":
+        # Fast path: everything between pupil sampling and the kernel —
+        # vignetting, the aiming correction, EPD scaling — is AFFINE in the
+        # pupil coordinates, separately in x and y (`apply_vignetting` is
+        # scale+offset, `ray_aiming`'s closure is built from 3 tee rays and
+        # applies per-(field, λ) scale/offset, `scale_to_epd` is a scalar
+        # multiply). So instead of mapping the big (F, P, W) block through
+        # that chain (which materializes W-minor intermediates whose flatten
+        # is a ~10× slower strided relayout), evaluate the chain on two
+        # (1, F, 1, W) probes to extract the per-(field, λ) affine
+        # coefficients, and apply them once while building the (W, F, P)
+        # block — whose P-minor flatten is relayout-free.
+        assert xp_rel.shape[0] == 1 and xp_rel.shape[1] == 1 \
+            and xp_rel.shape[3] == 1, (
+                "w_order='outer' needs plain (1, 1, P, 1) pupil samples")
+        px = xp_rel[0, 0, :, 0]                                 # (P,)
+        py = yp_rel[0, 0, :, 0]
+        P = px.shape[0]
+
+        def chain(vx, vy):
+            if use_vig and config.vig_fn is not None and config.mode != "chief":
+                fields = jnp.asarray(config.rel_fields, jnp.float32)[None, :]
+                vig_up = config.vig_fn(fields, specs.vig_up)
+                vig_down = config.vig_fn(fields, specs.vig_down)
+                vig_x = config.vig_fn(fields, specs.vig_x)
+                vy = pupil_mod.apply_vignetting(vy, vig_up, vig_down)
+                vx = pupil_mod.apply_vignetting(vx, vig_x, vig_x)
+            if config.n_ray_aiming_iter > 0:
+                from torchoptics_tpu.ops import aiming
+                fn = aiming.ray_aiming(specs, lens.detach(), config, use_vig)
+                vx, vy = fn(vx, vy)
+            return vx, vy
+
+        zero = jnp.zeros((1, F, 1, W), jnp.float32)
+        one = jnp.ones((1, F, 1, W), jnp.float32)
+        ox, oy = chain(zero, zero)
+        sx, sy = chain(one, one)
+        sx = sx - ox
+        sy = sy - oy
+        wf = lambda a: jnp.broadcast_to(a, (1, F, 1, W))[0, :, 0, :].T[
+            :, :, None]                                         # (W, F, 1)
+        xrel = px[None, None, :] * wf(sx) + wf(ox)              # (W, F, P)
+        yrel = py[None, None, :] * wf(sy) + wf(oy)
+        if config.n_ray_aiming_iter > 0:
+            # Same clamp + constant treatment as the jnp engine
+            # (`ray_tracing_lite.py:108-110`).
+            xrel = jax.lax.stop_gradient(jnp.clip(xrel, -2.0, 2.0))
+            yrel = jax.lax.stop_gradient(jnp.clip(yrel, -2.0, 2.0))
+        half_epd = specs.epd[0] / 2.0
+        xpb = xrel * half_epd
+        ypb = yrel * half_epd
+        u = specs.hfov[:, None] * jnp.asarray(config.rel_fields,
+                                              jnp.float32)[None, :]
+        cyb = jnp.broadcast_to(jnp.sin(u)[0][None, :, None], (W, F, P))
+        return (xpb.reshape(-1), ypb.reshape(-1), cyb.reshape(-1), z0, mu,
+                (1, F, P, W))
 
     if use_vig and config.vig_fn is not None and config.mode != "chief":
         # Same pre-kernel vignetting as the jnp engine
@@ -863,16 +944,14 @@ def prepare_fused_inputs(specs, lens, config, key=None, xy=None,
     xp = pupil_mod.scale_to_epd(xp_rel, specs.epd)
     yp = pupil_mod.scale_to_epd(yp_rel, specs.epd)
 
-    F = len(config.rel_fields)
-    W = len(config.wavelengths)
     u = specs.hfov[:, None] * jnp.asarray(config.rel_fields,
                                           jnp.float32)[None, :]
     cy = jnp.sin(u)[0]  # (F,)
 
+    P = xp.shape[2]
     # Broadcast to the (F, P, W) block, wavelength innermost, then flatten.
     xpb = jnp.broadcast_to(xp, (1, F, xp.shape[2], W))[0]
     ypb = jnp.broadcast_to(yp, (1, F, yp.shape[2], W))[0]
-    P = xpb.shape[1]
     cyb = jnp.broadcast_to(cy[:, None, None], (F, P, W))
     return (xpb.reshape(-1), ypb.reshape(-1), cyb.reshape(-1), z0, mu,
             (1, F, P, W))
@@ -914,6 +993,47 @@ def trace_rays_fused(specs, lens, config, key: Optional[jax.Array] = None,
     return package_fused_result(outs, shape, penalties)
 
 
+def rms2d_flat_wouter(y_flat, ok_flat, F, P, W):
+    """``metrics.compute_rms2d`` (B=1) on flat wavelength-OUTERMOST kernel
+    outputs — all reductions run on a (W, F, P) view whose minor axis is the
+    large contiguous P, so no (F, P, W) relayout ever materializes (that
+    relayout costs more than the fused forward kernel itself).
+
+    Semantics bit-match `ray_tracing_lite.py:678-702` / compute_rms2d: the
+    per-(field, wavelength) centroid is the plain mean over ALL rays, the
+    squared deviations sum over valid rays only, the denominator counts all
+    rays."""
+    y3 = y_flat.reshape(W, F, P)
+    ok3 = ok_flat.reshape(W, F, P)
+    ycent = jnp.mean(y3, axis=2)                     # (W, F)
+    ymean = jnp.mean(ycent, axis=0)                  # (F,)
+    dev2 = jnp.where(ok3, (y3 - ymean[None, :, None]) ** 2, 0.0)
+    ss = jnp.sum(dev2, axis=(0, 2))                  # (F,)
+    pos = ss > 0
+    rms_f = jnp.where(pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / (P * W)), 0.0)
+    return jnp.mean(rms_f)
+
+
+def spot_rms_fused(specs, lens, config, key: Optional[jax.Array] = None,
+                   xy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                   rows: int = DEFAULT_ROWS, use_vig: bool = True):
+    """Mean RMS spot size of a single spherical system on the fused fast
+    path: W-outer front-end (relayout-free) → fused kernel → flat-layout
+    reduction. Numerically equal to ``compute_rms2d(trace_rays_fused(...))``
+    (same math, friendlier layout); ~2× faster end-to-end because neither
+    the (F, P, W) broadcast nor the result reshape ever relayouts."""
+    assert lens.is_spherical, "fused kernel is spherical; use ops.trace"
+    lens = compress_padded_tail(lens)
+    _assert_fused_config(lens, config)
+    xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig,
+        w_order="outer")
+    _, F, P, W = shape
+    outs = trace_fused(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu, rows,
+                       False, config.allow_backward_rays, F * P)
+    return rms2d_flat_wouter(outs[1], outs[4], F, P, W)
+
+
 def _path_bounds(structure, lower, upper):
     """Static per-gap (lo, hi) hinge bounds for a single compressed system —
     the reference's air/glass/image thickness maps
@@ -943,7 +1063,6 @@ def compute_losses_fused(specs, lens, config,
     ``config`` is a ``simulator.SimulatorConfig``. Returns
     (total, loss_dict) matching the XLA path numerically (tested in
     interpret mode)."""
-    from torchoptics_tpu.ops import metrics as metrics_mod
     from torchoptics_tpu import simulator as sim_mod
 
     cfg = config.trace_config()
@@ -957,18 +1076,18 @@ def compute_losses_fused(specs, lens, config,
     angle_thr = math.cos(math.radians(config.ray_angle_threshold)) ** 2
 
     xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
-        specs, lens, cfg, key=key)
+        specs, lens, cfg, key=key, w_order="outer")
+    _, F, P, W = shape
     vertex_z = jnp.cumsum(lens.t[0])
     ref_z = jnp.concatenate((vertex_z, vertex_z[-1:]))
 
     outs = trace_fused_full(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu,
                             ref_z, rows, cfg.allow_backward_rays, bounds,
-                            angle_thr)
-    result = package_fused_result(outs[:6], shape, False)
-    pth, ptp, pz, ppath, pang = [p.reshape(shape) for p in outs[6:]]
+                            angle_thr, F * P)
+    pth, ptp, pz, ppath, pang = outs[6:]
 
     n_rays = shape[1] * shape[2] * shape[3]
-    rms = metrics_mod.compute_rms2d(result.x, result.y, result.ray_ok)[0]
+    rms = rms2d_flat_wouter(outs[1], outs[4], F, P, W)
     n_sequence = int(lens.structure.n_surfaces[0])
     sumQ = (jnp.sum(pth) + jnp.sum(ptp) + jnp.sum(pz)) / n_sequence
     Lu = rms + config.penalty_rate * sumQ
@@ -1000,11 +1119,17 @@ def unsupervised_loss_fused(specs, lens, config,
     ``simulator.do_ray_tracing``'s loss_dict numerically (tested).
     Returns (Lu, loss_dict).
     """
-    from torchoptics_tpu.ops import metrics as metrics_mod
     cfg = config.trace_config()
-    result, (pth, ptp, pz) = trace_rays_fused(
-        specs, lens, cfg, key=key, rows=rows, penalties=True)
-    rms = metrics_mod.compute_rms2d(result.x, result.y, result.ray_ok)[0]
+    assert lens.is_spherical, "fused kernel is spherical; use ops.trace"
+    lens = compress_padded_tail(lens)
+    _assert_fused_config(lens, cfg)
+    xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
+        specs, lens, cfg, key=key, w_order="outer")
+    _, F, P, W = shape
+    outs = trace_fused(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu, rows,
+                       True, cfg.allow_backward_rays, F * P)
+    pth, ptp, pz = outs[6:9]
+    rms = rms2d_flat_wouter(outs[1], outs[4], F, P, W)
     n_sequence = int(lens.structure.n_surfaces[0])
     sumQ = (jnp.sum(pth) + jnp.sum(ptp) + jnp.sum(pz)) / n_sequence
     Lu = rms + config.penalty_rate * sumQ
