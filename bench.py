@@ -35,6 +35,28 @@ TARGET_INTERSECTIONS_PER_SEC = 100e6
 FLOPS_FWD = 60.0
 FLOPS_FWDBWD = 230.0
 
+# Per-intersection op census of the fused kernels, split by VPU cost class
+# (line-by-line count of `ops/pallas_trace.py` `_fwd_surface`:56-104 and
+# `_bwd_surface`:107-209; the bwd kernel re-runs the forward to rebuild its
+# locals, so its census includes the fwd ops). "simple" = one lane-op
+# (add/mul/select/cmp), counted as ONE issue each — conservative, since
+# Mosaic fuses mul+add pairs into single FMA issues, so a census-weighted
+# rate at or slightly above the measured issue ceiling means the kernel is
+# AT the hardware roofline. sqrt/div run on the slower special-function
+# path and get MEASURED weights from the VPU microbench
+# (benchmarks/vpu_peak.py) instead of being miscounted as single flops.
+OPS_FWD = {"simple": 65, "sqrt": 3, "div": 1}
+OPS_BWD = {"simple": 175, "sqrt": 3, "div": 5}          # incl. fwd recompute
+OPS_FWDBWD = {k: OPS_FWD[k] + OPS_BWD[k] for k in OPS_FWD}
+
+
+def _weighted_ops(census, weights):
+    """Lane-op-equivalents of one intersection under measured sqrt/div
+    weights ({'sqrt_weight', 'div_weight'} from benchmarks.vpu_peak)."""
+    return (census["simple"]
+            + census["sqrt"] * weights.get("sqrt_weight", 4.0)
+            + census["div"] * weights.get("div_weight", 4.0))
+
 
 def _ensure_backend():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -47,7 +69,8 @@ def _stats(step, args, n_iter=10, reps=5):
     return time_step_stats(step, args, n_iter=n_iter, reps=reps)
 
 
-def _trace_workload(specs, lens, n_fields, rings, rows, on_tpu):
+def _trace_workload(specs, lens, n_fields, rings, rows, on_tpu,
+                    vpu=None):
     """Time d(spot RMS)/d(c,t) at one ray scale; returns the extras dict."""
     from torchoptics_tpu.ops import metrics as metrics_mod
     from torchoptics_tpu.ops import pallas_trace as pallas_mod
@@ -66,6 +89,13 @@ def _trace_workload(specs, lens, n_fields, rings, rows, on_tpu):
         return metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)[0]
 
     def loss_pallas(c, t):
+        # The production fast path: W-outer front-end (relayout-free) ->
+        # fused kernel -> flat-layout RMS reduction. ~3x the end-to-end
+        # rate of the packaged (F, P, W) result path at 2.46M rays.
+        return pallas_mod.spot_rms_fused(specs, lens.replace(c=c, t=t), cfg,
+                                         rows=rows)
+
+    def loss_pallas_packaged(c, t):
         res = pallas_mod.trace_rays_fused(specs, lens.replace(c=c, t=t), cfg,
                                           rows=rows)
         return metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)[0]
@@ -79,6 +109,10 @@ def _trace_workload(specs, lens, n_fields, rings, rows, on_tpu):
         s_p = _stats(jax.jit(jax.value_and_grad(loss_pallas, argnums=(0, 1))),
                      (lens.c, lens.t))
         out["pallas_fwdbwd"] = s_p
+        out["pallas_fwdbwd_packaged_result"] = _stats(
+            jax.jit(jax.value_and_grad(loss_pallas_packaged,
+                                       argnums=(0, 1))),
+            (lens.c, lens.t))
         # Forward-only = the measured compute ceiling of the same VPU code.
         s_f = _stats(jax.jit(loss_pallas), (lens.c, lens.t))
         out["pallas_fwd_only"] = s_f
@@ -93,6 +127,41 @@ def _trace_workload(specs, lens, n_fields, rings, rows, on_tpu):
         # arithmetic, so a ratio well under 3.8 means the bwd kernel runs
         # closer to the VPU roofline than the naive FLOP count predicts.
         out["fwdbwd_over_fwd_time_ratio"] = s_p["min"] / s_f["min"]
+
+        # In-jit iterated step: lax.scan chains K fwd+bwd steps inside ONE
+        # dispatch, so per-step time excludes the per-call relay/dispatch
+        # overhead — this is the honest device-compute time the roofline
+        # fraction is computed against. The tiny gradient feedback makes
+        # each iteration data-depend on the last (nothing can be CSE'd).
+        K = 10
+        vag = jax.value_and_grad(loss_pallas, argnums=(0, 1))
+
+        def chain(c, t):
+            def body(carry, _):
+                c, t, acc = carry
+                v, (gc, gt) = vag(c, t)
+                return (c + 1e-30 * gc, t + 1e-30 * gt, acc + v), None
+            (c, t, acc), _ = jax.lax.scan(body, (c, t, 0.0), None, length=K)
+            return acc
+        s_chain = _stats(jax.jit(chain), (lens.c, lens.t), n_iter=2, reps=5)
+        step_dev = s_chain["min"] / K
+        out["pallas_fwdbwd_in_jit"] = {**s_chain, "per_step_s": step_dev}
+        out["dispatch_overhead_ms"] = (s_p["min"] - step_dev) * 1e3
+        out["intersections_per_sec_device"] = n_rays * n_surfaces / step_dev
+
+        if vpu is not None:
+            # Roofline vs the MEASURED VPU ceiling of this chip/session
+            # (benchmarks/vpu_peak.py), with measured sqrt/div weights.
+            w_fb = _weighted_ops(OPS_FWDBWD, vpu)
+            w_f = _weighted_ops(OPS_FWD, vpu)
+            rate = n_rays * n_surfaces / step_dev
+            out["weighted_ops_per_intersection"] = {
+                "fwd": w_f, "fwdbwd": w_fb}
+            out["roofline_fraction"] = (
+                rate * w_fb / vpu["vpu_lane_ops_per_s"])
+            out["roofline_fraction_fwd_only"] = (
+                n_rays * n_surfaces / s_f["min"] * w_f
+                / vpu["vpu_lane_ops_per_s"])
     out["intersections_per_sec"] = n_rays * n_surfaces / best
     out["step_ms_best"] = best * 1e3
     return out
@@ -110,10 +179,19 @@ def main():
     n_surfaces = int(lens.structure.n_surfaces[0])
     on_tpu = jax.default_backend() == "tpu"
 
+    # Measured VPU speed-of-light + sqrt/div cost weights for the roofline
+    # (same chip, same session as the kernel timings).
+    vpu = None
+    if on_tpu:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from vpu_peak import measure_vpu
+        vpu = measure_vpu()
+
     # Two ray scales: medium (16 x 96^2 x 3 = 442k) and large
     # (32 x 160^2 x 3 = 2.46M) — fixed across rounds for comparability.
-    medium = _trace_workload(specs, lens, 16, 96, 32, on_tpu)
-    large = _trace_workload(specs, lens, 32, 160, 64, on_tpu)
+    medium = _trace_workload(specs, lens, 16, 96, 32, on_tpu, vpu=vpu)
+    large = _trace_workload(specs, lens, 32, 160, 64, on_tpu, vpu=vpu)
 
     # Lens-optimization step: full unsupervised objective Lu (fwd+bwd).
     sim_cfg = sim_mod.SimulatorConfig(
@@ -148,6 +226,17 @@ def main():
         lambda l, r: imaging.simulate(specs, l, r, img_cfg)[0])
     img_stats = _stats(render, (lens, radiance), n_iter=5, reps=5)
 
+    # End-to-end-design step: fwd+bwd of the image-quality loss (-PSNR)
+    # through trace -> PSF -> SVOLA -> warp wrt (c, t) — the optimization
+    # the upstream paper trains (`optics_simulator_lite.py:325-343`).
+    def img_loss(c, t):
+        total, _ = imaging.image_quality_loss(
+            specs, lens.replace(c=c, t=t), radiance, img_cfg)
+        return total
+    img_opt_stats = _stats(jax.jit(jax.value_and_grad(img_loss,
+                                                      argnums=(0, 1))),
+                           (lens.c, lens.t), n_iter=5, reps=5)
+
     best = large["step_ms_best"] / 1e3
     intersections_per_sec = large["intersections_per_sec"]
 
@@ -166,6 +255,13 @@ def main():
                 "ms_per_frame": img_stats["min"] * 1e3,
                 "frames_per_sec": 1.0 / img_stats["min"],
             },
+            "image_loss_fwdbwd_256px": {
+                **img_opt_stats,
+                "ms_per_step": img_opt_stats["min"] * 1e3,
+            },
+            "vpu_microbench": vpu,
+            "ops_per_intersection": {"fwd": OPS_FWD, "fwdbwd": OPS_FWDBWD},
+            "roofline_fraction": large.get("roofline_fraction"),
             "flops_per_intersection": {"fwd": FLOPS_FWD,
                                        "fwdbwd": FLOPS_FWDBWD},
             "step_time_ms": best * 1e3,
