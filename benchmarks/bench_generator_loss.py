@@ -51,6 +51,40 @@ def make_population(n, name="cooke", seed=0):
     return specs, lens
 
 
+def make_mixed_population(n, names=("cooke", "double_gauss"), seed=0):
+    """Padded batch mixing lens types (the generator-curriculum shape,
+    `optical_loss.py:99-122`): n/len(names) perturbed copies of each zoo
+    prescription, padded to the widest sequence."""
+    from torchoptics_tpu import zoo
+    from torchoptics_tpu.models.structure import Lens, Specs, Structure
+    rng = np.random.default_rng(seed)
+    per = n // len(names)
+    seqs, stops, cs, ts, nds, vs, epds, hfovs = ([] for _ in range(8))
+    for name in names:
+        p = zoo.get_prescription(name)
+        base_specs, _ = zoo.build(name)
+        c0 = np.asarray(p["c"], np.float32)
+        t0 = np.asarray(p["t"], np.float32)
+        nd0 = np.asarray(p["nd"], np.float32)
+        v0 = np.asarray(p["v"], np.float32)
+        for _ in range(per):
+            seqs.append(p["sequence"][0])
+            stops.append(p["stop_idx"][0])
+            cs.append(c0 * (1 + 0.02 * rng.standard_normal(c0.shape)
+                            ).astype(np.float32))
+            ts.append(t0)
+            nds.append(nd0)
+            vs.append(v0)
+            epds.append(float(base_specs.epd[0]))
+            hfovs.append(float(base_specs.hfov[0]))
+    st = Structure(tuple(stops), tuple(seqs))
+    cat = lambda xs: jnp.asarray(np.concatenate(xs))
+    lens = Lens(st, cat(cs), cat(ts), cat(nds), cat(vs))
+    specs = Specs(st, jnp.asarray(epds, jnp.float32),
+                  jnp.asarray(hfovs, jnp.float32))
+    return specs, lens
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
@@ -111,20 +145,44 @@ def main():
             specs, lens_a.replace(c=c, t=t), cfg)
         return mean_lu
 
-    fns = [("xla", lu_xla), ("xla-asphere", lu_xla_asph)]
+    # Mixed-sequence population (the generator-curriculum shape): cooke +
+    # double-Gauss padded into one batch; the fused path is the host-side
+    # group-by-sequence full loss (simulator.compute_losses with
+    # trace_engine='pallas' — one batched-kernel launch per lens type).
+    specs_m, lens_m = make_mixed_population(args.batch)
+    mk = lambda e: sim.SimulatorConfig(
+        n_sampled_fields=8, n_pupil_rings=8, pupil_sampling="circular",
+        n_ray_aiming_iter=1, wavelengths=(459.0, 520.0, 640.0),
+        trace_engine=e)
+
+    def full_mixed_xla(c, t):
+        tot, _ = sim.compute_losses(specs_m, lens_m.replace(c=c, t=t),
+                                    mk("unroll"))
+        return tot
+
+    def full_mixed_pallas(c, t):
+        tot, _ = sim.compute_losses(specs_m, lens_m.replace(c=c, t=t),
+                                    mk("pallas"))
+        return tot
+
+    fns = [("xla", lens, lu_xla), ("xla-asphere", lens, lu_xla_asph),
+           ("xla-mixed-full", lens_m, full_mixed_xla)]
     if jax.default_backend() == "tpu":
-        fns.append(("pallas-batch", lu_pallas))
-        fns.append(("pallas-asphere", lu_pallas_asph))
+        fns.append(("pallas-batch", lens, lu_pallas))
+        fns.append(("pallas-asphere", lens, lu_pallas_asph))
+        fns.append(("pallas-mixed-full", lens_m, full_mixed_pallas))
 
     print(f"batch={args.batch} systems x {8 * 64 * 3} rays x {n_surf} "
           f"surfaces, device={jax.devices()[0]}")
-    for name, f in fns:
+    for name, l, f in fns:
         from torchoptics_tpu.utils.timing import time_step
         step = jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
-        best = time_step(step, (lens.c, lens.t))
-        print(f"{name:14s} {best * 1e3:8.3f} ms/step  "
+        best = time_step(step, (l.c, l.t))
+        n_int = (n_rays * n_surf if l is lens else
+                 8 * 64 * 3 * int(np.sum(l.structure.n_surfaces)))
+        print(f"{name:18s} {best * 1e3:8.3f} ms/step  "
               f"{args.batch / best:8.0f} designs/s  "
-              f"{n_rays * n_surf / best / 1e6:8.0f} Mint/s")
+              f"{n_int / best / 1e6:8.0f} Mint/s")
 
 
 if __name__ == "__main__":

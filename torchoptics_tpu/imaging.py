@@ -39,6 +39,11 @@ class OpticsModel(NamedTuple):
     sampled_distortion_shifts: Optional[jnp.ndarray]  # (n_fields,)
     sampled_relative_illumination: Optional[jnp.ndarray]  # (n_fields,)
     y_center: jnp.ndarray                     # (n_fields,)
+    # Fraction of ray energy inside the PSF sampling window, per (field,
+    # channel). When this drops the rendered PSFs are clipped + renormalized
+    # and image metrics silently stop seeing the excess blur — monitor it
+    # when optimizing through the image (see image_quality_loss).
+    accounted: Optional[jnp.ndarray] = None
 
 
 def sample_optics_model(specs: Specs, lens: Lens,
@@ -60,6 +65,7 @@ def sample_optics_model(specs: Specs, lens: Lens,
     psfs, accounted = psf_mod.sample_psfs(
         res.x, res.y, y_center, config.psf_shape, config.psf_abs_pixel_size)
     psfs = image_mod.ensure_finite(psfs, 0.0)
+    accounted = image_mod.ensure_finite(accounted, 0.0)
 
     shifts = None
     if config.apply_distortion and config.distortion_by_warping:
@@ -75,7 +81,7 @@ def sample_optics_model(specs: Specs, lens: Lens,
             n_ray_aiming_iter=config.n_ray_aiming_iter)[0, :, 0]
         rel_illum = image_mod.ensure_finite(ri, 1.0)
 
-    return OpticsModel(psfs, shifts, rel_illum, y_center)
+    return OpticsModel(psfs, shifts, rel_illum, y_center, accounted)
 
 
 def sample_field_lim(img_h: int, img_w: int, simulated_res_factor: int = 1,
@@ -207,14 +213,26 @@ def image_quality_loss(specs: Specs, lens: Lens, radiance: jnp.ndarray,
     path is dormant there). Gradients flow through the full
     trace → PSF soft-histogram → SVOLA convolution → warp chain.
 
-    Returns ``(total, {"psnr", "ssim", "image_loss"})``.
+    Returns ``(total, {"psnr", "ssim", "image_loss", "psf_accounted"})``.
+
+    Caveat — PSF window clipping: once a blur spot grows past the
+    ``config.psf_shape × psf_abs_pixel_size`` sampling window, the clipped
+    PSF is renormalized and the *rendered* image stops degrading (PSNR can
+    even recover at extreme defocus), so the objective is blind out there.
+    ``psf_accounted`` (mean in-window energy fraction) is reported for
+    monitoring; keep starting perturbations inside the window, enlarge the
+    window, or anneal from a ray-space spot objective first.
     """
-    _, psnr, ssim = simulate(specs, lens, radiance, config, key=key,
-                             field_lim=field_lim, roi_index=roi_index)
+    model = sample_optics_model(specs, lens, config, key=key)
+    if field_lim is None:
+        field_lim = sample_field_lim(radiance.shape[1], radiance.shape[2],
+                                     config.simulated_res_factor, roi_index)
+    _, psnr, ssim = apply_optics_model(model, radiance, field_lim, config)
     psnr = jnp.mean(psnr)       # batch mean -> scalar objective
     ssim = jnp.mean(ssim)
     total = -psnr + ssim_weight * (1.0 - ssim)
-    return total, {"psnr": psnr, "ssim": ssim, "image_loss": total}
+    return total, {"psnr": psnr, "ssim": ssim, "image_loss": total,
+                   "psf_accounted": jnp.mean(model.accounted)}
 
 
 def make_image_loss_fn(radiance: jnp.ndarray, ssim_weight: float = 0.0,
