@@ -19,6 +19,7 @@ explicitness/verification (:func:`shard_map_mean_rms`).
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -103,6 +104,208 @@ def shard_map_mean_rms(x: jnp.ndarray, y: jnp.ndarray, ray_ok: jnp.ndarray,
                      out_specs=P())(x, y, ray_ok)
 
 
+def _shard_map(body, mesh, in_specs, out_specs):
+    """shard_map across jax versions; ``check_vma=False`` because the fused
+    Pallas kernels' ``out_shape`` structs carry no vma annotations (jax 0.9
+    requires them under ``check_vma=True``); transposition/psum placement is
+    driven by the in/out specs either way (verified by gradient-parity
+    tests)."""
+    try:
+        from jax import shard_map
+        return shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except (ImportError, TypeError):  # older jax
+        from jax.experimental.shard_map import shard_map as shard_map_old
+        return shard_map_old(body, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_rep=False)
+
+
+def sharded_fused_losses(specs: Specs, lens: Lens,
+                         config: sim_mod.SimulatorConfig, mesh: Mesh,
+                         g: Optional[jnp.ndarray] = None,
+                         catalog_g: Optional[jnp.ndarray] = None,
+                         key: Optional[jax.Array] = None,
+                         full: bool = True,
+                         rows=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The fused Pallas lens loss, shard_mapped over the ('lens', 'rays')
+    mesh: every device launches the fused batch kernel
+    (``pallas_batch.trace_fused_batch[_full]`` / the asphere twin) on its
+    (system-shard x pupil-shard) block; the loss reductions ``psum`` over
+    ICI. This is the multi-chip form of
+    ``pallas_batch.batched_compute_losses_fused`` (``full=True``) /
+    ``simulator._do_ray_tracing_fused`` (``full=False``) — same math, same
+    in-kernel penalty accumulation, numerics differing only by reduction
+    order (asserted against the single-device fused loss in
+    ``tests/test_sharding.py``).
+
+    A ``pl.pallas_call`` has no GSPMD partitioning rule, so the plain
+    ``jit``-over-mesh route the XLA engines take cannot shard the fused
+    kernels; ``shard_map`` is the supported composition (kernel per shard +
+    explicit collectives). Reference scope: the reference has no multi-device
+    path at all (`optical_loss.py:105-111` is a serial per-sample loop).
+
+    Requirements (all loud): homogeneous population (one ``sequence``),
+    float32, population size divisible by the mesh's ``lens`` axis, pupil
+    count divisible by the ``rays`` axis.
+
+    Returns (total, loss_dict) with replicated scalars.
+    """
+    from torchoptics_tpu.ops import pallas_batch
+    from torchoptics_tpu.ops import pupil as pupil_mod
+    from torchoptics_tpu.ops.pallas_trace import _path_bounds
+
+    cfg = config.trace_config()
+    if config.double_precision:
+        raise NotImplementedError(
+            "sharded_fused_losses is float32 (fused kernels); use the XLA "
+            "engines for double_precision")
+    if len(set(lens.structure.sequence)) != 1:
+        raise NotImplementedError(
+            "sharded_fused_losses expects a homogeneous population (one "
+            "lens type per launch); group mixed populations by sequence "
+            "as simulator._compute_losses_fused_grouped does")
+    B = len(lens)
+    n_lens_dev = mesh.shape[mesh_mod.LENS_AXIS]
+    n_ray_dev = mesh.shape[mesh_mod.RAY_AXIS]
+    if B % n_lens_dev:
+        raise ValueError(
+            f"population size {B} not divisible by the mesh 'lens' axis "
+            f"({n_lens_dev}); pad the population or reshape the mesh")
+
+    # Global pupil sample (identical to the single-device trace), sharded
+    # over 'rays'. Vignetting/aiming/EPD scaling happen per shard inside the
+    # body — they are elementwise in the pupil coordinates (the aiming
+    # correction is a per-field linear map built from tee rays, identically
+    # recomputed on every ray shard).
+    xp_rel, yp_rel = pupil_mod.sample_pupil(cfg.mode, cfg.n_rays, B, key=key)
+    P_total = xp_rel.shape[2]
+    if P_total % n_ray_dev:
+        raise ValueError(
+            f"pupil sample count {P_total} not divisible by the mesh 'rays' "
+            f"axis ({n_ray_dev}); adjust n_pupil_rings or the mesh shape")
+    xp_rel = jnp.broadcast_to(xp_rel, (B, 1, P_total, 1))
+    yp_rel = jnp.broadcast_to(yp_rel, (B, 1, P_total, 1))
+
+    spherical = lens.is_spherical
+    if not spherical:
+        if lens.kappa is None:
+            lens = lens.replace(kappa=jnp.zeros_like(lens.c))
+        if lens.asph is None:
+            lens = lens.replace(asph=jnp.zeros(lens.c.shape + (1,)))
+
+    B_loc = B // n_lens_dev
+    st_loc = lens.structure[0:B_loc]
+    mask = pallas_batch._static_mask(st_loc)
+    bounds = (_path_bounds(st_loc, config.ray_path_lower_thresholds,
+                           config.ray_path_upper_thresholds)
+              if full else None)
+    angle_thr = math.cos(math.radians(config.ray_angle_threshold)) ** 2
+    n_seq = float(st_loc.n_surfaces[0])
+    W = len(cfg.wavelengths)
+    F = len(cfg.rel_fields)
+    n_rays_total = B * F * P_total * W
+
+    leaves = dict(c=lens.c, t=lens.t, nd=lens.nd, v=lens.v,
+                  epd=specs.epd, hfov=specs.hfov, vig_up=specs.vig_up,
+                  vig_down=specs.vig_down, vig_x=specs.vig_x,
+                  xp=xp_rel, yp=yp_rel)
+    in_spec = dict(
+        c=P(mesh_mod.LENS_AXIS, None), t=P(mesh_mod.LENS_AXIS, None),
+        nd=P(mesh_mod.LENS_AXIS, None), v=P(mesh_mod.LENS_AXIS, None),
+        epd=P(mesh_mod.LENS_AXIS), hfov=P(mesh_mod.LENS_AXIS),
+        vig_up=P(mesh_mod.LENS_AXIS), vig_down=P(mesh_mod.LENS_AXIS),
+        vig_x=P(mesh_mod.LENS_AXIS),
+        xp=P(mesh_mod.LENS_AXIS, None, mesh_mod.RAY_AXIS, None),
+        yp=P(mesh_mod.LENS_AXIS, None, mesh_mod.RAY_AXIS, None))
+    if not spherical:
+        leaves.update(kappa=lens.kappa, asph=lens.asph)
+        in_spec.update(kappa=P(mesh_mod.LENS_AXIS, None),
+                       asph=P(mesh_mod.LENS_AXIS, None, None))
+
+    keys = ("loss_unsup", "rms", "penalty") + (
+        ("spot_size", "ray_path", "ray_angle") if full else ())
+    out_spec = {k: P() for k in keys}
+
+    def body(d):
+        lens_loc = Lens(st_loc, d["c"], d["t"], d["nd"], d["v"],
+                        kappa=d.get("kappa"), asph=d.get("asph"))
+        specs_loc = Specs(st_loc, d["epd"], d["hfov"], d["vig_up"],
+                          d["vig_down"], d["vig_x"])
+        xpb, ypb, cyb, z0, mu, shape = pallas_batch.prepare_fused_inputs_batch(
+            specs_loc, lens_loc, cfg, xy=(d["xp"], d["yp"]))
+        if full:
+            vertex_z = jnp.cumsum(lens_loc.t, axis=1)
+            ref_z = jnp.concatenate((vertex_z, vertex_z[:, -1:]), axis=1)
+            if spherical:
+                outs = pallas_batch.trace_fused_batch_full(
+                    xpb, ypb, cyb, z0, lens_loc.c, lens_loc.t, mu, ref_z,
+                    rows, cfg.allow_backward_rays, mask, bounds, angle_thr)
+            else:
+                from torchoptics_tpu.ops import pallas_asphere
+                outs = pallas_asphere.trace_fused_asphere_batch_full(
+                    xpb, ypb, cyb, z0, lens_loc.c, lens_loc.kappa,
+                    lens_loc.t, mu, lens_loc.asph, ref_z, rows,
+                    cfg.newton_iters, cfg.allow_backward_rays, mask, bounds,
+                    angle_thr)
+        else:
+            if spherical:
+                outs = pallas_batch.trace_fused_batch(
+                    xpb, ypb, cyb, z0, lens_loc.c, lens_loc.t, mu, rows,
+                    True, cfg.allow_backward_rays, mask)
+            else:
+                from torchoptics_tpu.ops import pallas_asphere
+                outs = pallas_asphere.trace_fused_asphere_batch(
+                    xpb, ypb, cyb, z0, lens_loc.c, lens_loc.kappa,
+                    lens_loc.t, mu, lens_loc.asph, rows, True,
+                    cfg.newton_iters, cfg.allow_backward_rays, mask)
+        y = outs[1].reshape(shape)
+        ok = outs[4].reshape(shape)
+        pth, ptp, pz = [p.reshape(shape) for p in outs[6:9]]
+
+        # Spot RMS with cross-shard moments — exactly
+        # metrics.compute_rms2d's semantics (all-ray centroid, ok-masked
+        # deviations, all-ray denominator), with the ray-axis sums psummed.
+        ycent = jax.lax.psum(jnp.sum(y, axis=2),
+                             mesh_mod.RAY_AXIS) / P_total       # (B, F, W)
+        ymean = jnp.mean(ycent, axis=-1)                        # (B, F)
+        dev2 = jnp.where(ok, (y - ymean[:, :, None, None]) ** 2, 0.0)
+        ss = jax.lax.psum(jnp.sum(dev2, axis=(2, 3)), mesh_mod.RAY_AXIS)
+        pos = ss > 0
+        rms_f = jnp.where(
+            pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / (P_total * W)), 0.0)
+        rms_b = jnp.mean(rms_f, axis=1)                         # (B_loc,)
+
+        sumQ_b = jax.lax.psum(jnp.sum(pth + ptp + pz, axis=(1, 2, 3)),
+                              mesh_mod.RAY_AXIS) / n_seq        # (B_loc,)
+        Lu_b = rms_b + config.penalty_rate * sumQ_b
+
+        mean_lens = lambda v: jax.lax.psum(jnp.sum(v), mesh_mod.LENS_AXIS) / B
+        out = {"loss_unsup": mean_lens(Lu_b), "rms": mean_lens(rms_b),
+               "penalty": mean_lens(sumQ_b)}
+        if full:
+            ppath, pang = [p.reshape(shape) for p in outs[9:11]]
+            psum_all = lambda v: jax.lax.psum(
+                jax.lax.psum(jnp.sum(v), mesh_mod.RAY_AXIS),
+                mesh_mod.LENS_AXIS)
+            out["spot_size"] = out["rms"]
+            out["ray_path"] = psum_all(ppath) / n_rays_total
+            out["ray_angle"] = psum_all(pang) / n_rays_total
+        return out
+
+    loss_dict = _shard_map(body, mesh, (in_spec,), out_spec)(leaves)
+    if not full:
+        return loss_dict["loss_unsup"], loss_dict
+    # The glass penalty depends only on g, not the trace: tiny, computed
+    # once on the replicated variables (GSPMD handles it).
+    if g is not None:
+        loss_dict["glass"] = sim_mod.compute_glass_penalty(
+            lens.structure, g, catalog_g)
+    weights = config.loss_weights
+    total = sum(loss_dict[k] * w for k, w in weights.items()
+                if k in loss_dict and w is not None)
+    return total, loss_dict
+
+
 def make_sharded_train_step(specs: Specs, config: sim_mod.SimulatorConfig,
                             mesh: Mesh, learning_rate: float = 1e-3,
                             trainable: Tuple[str, ...] = ("c", "t", "g"),
@@ -121,14 +324,27 @@ def make_sharded_train_step(specs: Specs, config: sim_mod.SimulatorConfig,
     loss/gradients over ICI. Multi-chip training is therefore *identical* to
     single-chip training up to reduction order.
 
+    With ``config.trace_engine='pallas'`` the loss is
+    :func:`sharded_fused_losses` — the fused kernels launched per shard under
+    ``shard_map`` (a ``pl.pallas_call`` has no GSPMD partitioning rule, so
+    this is the only way the production fast path shards). The XLA engines
+    ('unroll'/'scan') keep the plain GSPMD route.
+
     ``step_fn(state, key) -> (state, total_loss, loss_dict)``.
     """
     from torchoptics_tpu import optimize as opt_mod
 
+    loss_fn = None
+    if config.trace_engine == "pallas":
+        def loss_fn(specs_, lens_, config_, g_, catalog_g_, key_):
+            return sharded_fused_losses(specs_, lens_, config_, mesh, g=g_,
+                                        catalog_g=catalog_g_, key=key_,
+                                        full=use_full_loss)
+
     opt = opt_mod.LensOptimizer(
         specs, config, learning_rate=learning_rate, add_bfl=add_bfl,
         qc_variables=qc_variables, use_full_loss=use_full_loss,
-        trainable=trainable)
+        trainable=trainable, loss_fn=loss_fn)
 
     n_lens = mesh.shape[mesh_mod.LENS_AXIS]
 
