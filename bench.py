@@ -214,6 +214,57 @@ def main():
                                    argnums=(0, 1))),
         (lens.c, lens.t))
 
+    # Multi-chip fast path on this chip: the shard_map-wrapped fused batch
+    # kernel (parallel.shard.sharded_fused_losses) on a 1-device mesh vs the
+    # direct fused batch launch — measures the shard_map dispatch overhead of
+    # the composition real pods run (the kernels themselves are identical).
+    shard_stats = None
+    if on_tpu:
+        from torchoptics_tpu.models.structure import Lens, Specs, Structure
+        from torchoptics_tpu.ops import pallas_batch
+        from torchoptics_tpu.parallel import mesh as mesh_mod
+        from torchoptics_tpu.parallel import shard as shard_mod
+
+        n_pop = 4
+        p = zoo.get_prescription("double_gauss")
+        stp = Structure(tuple(p["stop_idx"] * n_pop),
+                        tuple(p["sequence"] * n_pop))
+        tile = lambda v: jnp.tile(jnp.asarray(v, jnp.float32)[None, 0],
+                                  (n_pop, 1))
+        lens_p = Lens(stp, tile(lens.c), tile(lens.t), tile(lens.nd),
+                      tile(lens.v))
+        specs_p = Specs(stp, jnp.tile(specs.epd, n_pop),
+                        jnp.tile(specs.hfov, n_pop))
+        pop_cfg = sim_mod.SimulatorConfig(
+            n_sampled_fields=8, n_pupil_rings=24,
+            pupil_sampling="circular", n_ray_aiming_iter=1,
+            wavelengths=(459.0, 520.0, 640.0), trace_engine="pallas")
+        mesh1 = mesh_mod.make_mesh(jax.devices()[:1])
+
+        def lu_shard(c, t):
+            total, _ = shard_mod.sharded_fused_losses(
+                specs_p, lens_p.replace(c=c, t=t), pop_cfg, mesh1,
+                full=False)
+            return total
+
+        def lu_direct(c, t):
+            total, _ = pallas_batch.batched_unsupervised_loss(
+                specs_p, lens_p.replace(c=c, t=t), pop_cfg)
+            return total
+
+        s_shard = _stats(jax.jit(jax.value_and_grad(lu_shard,
+                                                    argnums=(0, 1))),
+                         (lens_p.c, lens_p.t))
+        s_direct = _stats(jax.jit(jax.value_and_grad(lu_direct,
+                                                     argnums=(0, 1))),
+                          (lens_p.c, lens_p.t))
+        shard_stats = {
+            "population": n_pop,
+            "shard_map_1dev_mesh": s_shard,
+            "direct_batch_kernel": s_direct,
+            "shard_map_overhead_ms": (s_shard["min"] - s_direct["min"]) * 1e3,
+        }
+
     # Imaging pipeline (BASELINE config 5): PSF render + SVOLA + warp on a
     # real 256x256 photograph.
     img_cfg = sim_mod.SimulatorConfig(
@@ -259,6 +310,7 @@ def main():
                 **img_opt_stats,
                 "ms_per_step": img_opt_stats["min"] * 1e3,
             },
+            "shard_map_fused_1dev_mesh": shard_stats,
             "vpu_microbench": vpu,
             "ops_per_intersection": {"fwd": OPS_FWD, "fwdbwd": OPS_FWDBWD},
             "roofline_fraction": large.get("roofline_fraction"),

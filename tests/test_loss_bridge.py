@@ -131,6 +131,37 @@ def test_unsupervised_pallas_engine_matches_xla():
                                    err_msg=name)
 
 
+def test_unsupervised_pallas_mesh_matches_unsharded():
+    """engine='pallas' with a ('lens','rays') mesh shards the fused
+    generator loss (kernel per device + psum) and must match the unsharded
+    fused launch, value and generator-output gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+    from torchoptics_tpu.parallel import mesh as mesh_mod
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    ol = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)
+    inputs, outputs = _make_ga_sample()
+    inputs_b = jnp.stack([inputs, inputs.at[0].set(0.25),
+                          inputs.at[0].set(0.28), inputs.at[1].set(0.3)])
+    outputs_b = jnp.stack([outputs, outputs.at[2].set(0.32),
+                           outputs.at[3].set(0.18), outputs.at[2].set(0.38)])
+    mesh = mesh_mod.make_mesh(lens_parallel=2)
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = ol.unsupervised(inputs_b, outputs_b, engine="pallas")
+        sh = ol.unsupervised(inputs_b, outputs_b, engine="pallas", mesh=mesh)
+        g_ref = jax.grad(lambda o: ol.unsupervised(
+            inputs_b, o, engine="pallas")[0])(outputs_b)
+        g_sh = jax.grad(lambda o: ol.unsupervised(
+            inputs_b, o, engine="pallas", mesh=mesh)[0])(outputs_b)
+    for a, b, name in zip(ref, sh, ("loss", "rms", "penalty")):
+        np.testing.assert_allclose(float(b), float(a), rtol=2e-5,
+                                   err_msg=name)
+    a, b = np.asarray(g_ref), np.asarray(g_sh)
+    scale = np.abs(a).max() + 1e-12
+    np.testing.assert_allclose(b / scale, a / scale, atol=1e-4)
+
+
 def test_unsupervised_pallas_engine_grads():
     from jax.experimental.pallas import tpu as pltpu
     ol = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)

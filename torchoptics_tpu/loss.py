@@ -199,6 +199,7 @@ class OpticalLoss:
                      stop_idx: Optional[int] = None,
                      has_stop_vars: bool = False,
                      engine: str = "xla",
+                     mesh=None,
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Mean unsupervised loss over a batch
         (reference `optical_loss.py:99-122`) — vmapped, not a Python loop.
@@ -206,7 +207,11 @@ class OpticalLoss:
         ``stop_idx`` defaults to the value in the first sample's input slot
         (all samples of one lens type share it; it is static under jit).
         ``engine='pallas'`` evaluates the whole population in one fused TPU
-        kernel launch (ops.pallas_batch).
+        kernel launch (ops.pallas_batch); with a ``jax.sharding.Mesh`` in
+        ``mesh`` the launch shards over the ('lens', 'rays') axes —
+        one fused kernel per device, psum'd reductions
+        (parallel.shard.sharded_fused_losses) — for multi-chip generator
+        training.
         """
         if stop_idx is None:
             if isinstance(inputs, jax.core.Tracer):
@@ -223,6 +228,11 @@ class OpticalLoss:
             from torchoptics_tpu.ops import pallas_batch
             specs, lens = self.build_batch(inputs, outputs, stop_idx,
                                            has_stop_vars)
+            if mesh is not None:
+                from torchoptics_tpu.parallel import shard as shard_mod
+                mean_lu, ld = shard_mod.sharded_fused_losses(
+                    specs, lens, self._sim_config(), mesh, full=False)
+                return mean_lu, ld["rms"], ld["penalty"]
             mean_lu, ld = pallas_batch.batched_unsupervised_loss(
                 specs, lens, self._sim_config())
             return (mean_lu, jnp.mean(ld["rms"]), jnp.mean(ld["penalty"]))
