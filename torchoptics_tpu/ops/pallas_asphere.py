@@ -361,7 +361,7 @@ def _bwd_surface_a(c, kappa, t, mu, a_ref, k_surf, n_asph, pre, loc, d,
 
 
 def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
-                  path_bounds, angle_thr,
+                  path_bounds, angle_thr, n_per_w,
                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, *refs):
     full = penalties == "full"
     if full:
@@ -376,7 +376,7 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
         xp_ref, yp_ref, cy_ref, *outs = refs
         x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
     i = pl.program_id(0)
-    widx = _widx(i, rows, w)
+    widx = _widx(i, rows, w, n_per_w)
     x = xp_ref[...]
     y = yp_ref[...]
     cy = cy_ref[...]
@@ -458,7 +458,7 @@ _N_LOC_BOOL_A = len(_LOC_BOOL_A)
 
 
 def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
-                  path_bounds, angle_thr,
+                  path_bounds, angle_thr, n_per_w,
                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, *rest):
     full = penalties == "full"
     ref_ref = None
@@ -486,7 +486,7 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
          st_locf, st_locb) = rest
         dpth_ref = dptp_ref = dpz_ref = None
     i = pl.program_id(0)
-    widx = _widx(i, rows, w)
+    widx = _widx(i, rows, w, n_per_w)
 
     x = xp_ref[...]
     y = yp_ref[...]
@@ -632,22 +632,25 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
 def trace_fused_asphere(xp, yp, cy, z0, c, kappa, t, mu, asph,
                         rows=DEFAULT_ROWS, penalties=False,
-                        n_iter=NEWTON_ITERS, allow_backward=True):
+                        n_iter=NEWTON_ITERS, allow_backward=True,
+                        n_per_w=None):
     """Fused conic/asphere trace of a flat ray block (single system).
 
     Args are as in ``pallas_trace.trace_fused`` plus ``kappa`` (S,) conic
-    constants and ``asph`` (S, K) even-asphere coefficients.
+    constants and ``asph`` (S, K) even-asphere coefficients. Static
+    ``n_per_w=F*P`` selects wavelength-OUTERMOST flat ray order (see
+    ``pallas_trace._widx``).
     """
     return _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows,
-                      penalties, n_iter, allow_backward)
+                      penalties, n_iter, allow_backward, n_per_w=n_per_w)
 
 
 def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
                n_iter, allow_backward, ref_z=None, path_bounds=None,
-               angle_thr=None):
+               angle_thr=None, n_per_w=None):
     full = penalties == "full"
     n = xp.shape[0]
     n_surf = c.shape[0]
@@ -674,7 +677,7 @@ def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
 
     outs = pl.pallas_call(
         partial(_fwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter,
-                allow_backward, path_bounds, angle_thr),
+                allow_backward, path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[smem] * (6 + len(ref_in)) + [ray_spec] * 3,
         out_specs=tuple([ray_spec] * n_out),
@@ -689,14 +692,15 @@ def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
 
 
 def _fused_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
-                 n_iter, allow_backward):
+                 n_iter, allow_backward, n_per_w):
     out = _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
-                     n_iter, allow_backward)
+                     n_iter, allow_backward, n_per_w=n_per_w)
     return out, (xp, yp, cy, z0, c, kappa, t, mu, asph)
 
 
 def _run_bwd_a(residuals, cotangents, rows, penalties, n_iter,
-               allow_backward, path_bounds=None, angle_thr=None):
+               allow_backward, path_bounds=None, angle_thr=None,
+               n_per_w=None):
     full = penalties == "full"
     if full:
         xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z = residuals
@@ -769,7 +773,7 @@ def _run_bwd_a(residuals, cotangents, rows, penalties, n_iter,
 
     outs = pl.pallas_call(
         partial(_bwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter,
-                allow_backward, path_bounds, angle_thr),
+                allow_backward, path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[smem] * (6 + len(ref_in))
         + [ray_spec] * (7 + len(pen_in)),
@@ -792,37 +796,41 @@ def _run_bwd_a(residuals, cotangents, rows, penalties, n_iter,
     return grads
 
 
-def _fused_bwd_a(rows, penalties, n_iter, allow_backward, residuals,
+def _fused_bwd_a(rows, penalties, n_iter, allow_backward, n_per_w, residuals,
                  cotangents):
     return _run_bwd_a(residuals, cotangents, rows, penalties, n_iter,
-                      allow_backward)
+                      allow_backward, n_per_w=n_per_w)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
 def trace_fused_asphere_full(xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z,
                              rows=DEFAULT_ROWS, n_iter=NEWTON_ITERS,
                              allow_backward=True, path_bounds=(),
-                             angle_thr=0.25):
+                             angle_thr=0.25, n_per_w=None):
     """``trace_fused_asphere`` with the FULL weighted-loss penalty set
     accumulated in-kernel — the conic/asphere analogue of
     ``pallas_trace.trace_fused_full`` (same ref_z/path_bounds/angle_thr
     contract). Returns the 6 trace outputs plus (pen_theta, pen_theta_p,
     pen_zrelu, pen_path, pen_angle), each (N,)."""
     return _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "full",
-                      n_iter, allow_backward, ref_z, path_bounds, angle_thr)
+                      n_iter, allow_backward, ref_z, path_bounds, angle_thr,
+                      n_per_w=n_per_w)
 
 
 def _fused_full_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z, rows,
-                      n_iter, allow_backward, path_bounds, angle_thr):
+                      n_iter, allow_backward, path_bounds, angle_thr,
+                      n_per_w):
     out = _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "full",
-                     n_iter, allow_backward, ref_z, path_bounds, angle_thr)
+                     n_iter, allow_backward, ref_z, path_bounds, angle_thr,
+                     n_per_w=n_per_w)
     return out, (xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z)
 
 
 def _fused_full_bwd_a(rows, n_iter, allow_backward, path_bounds, angle_thr,
-                      residuals, cotangents):
+                      n_per_w, residuals, cotangents):
     return _run_bwd_a(residuals, cotangents, rows, "full", n_iter,
-                      allow_backward, path_bounds, angle_thr)
+                      allow_backward, path_bounds, angle_thr,
+                      n_per_w=n_per_w)
 
 
 trace_fused_asphere.defvjp(_fused_fwd_a, _fused_bwd_a)
@@ -852,7 +860,7 @@ class _RefView:
 
 
 def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
-                   allow_backward, path_bounds, angle_thr,
+                   allow_backward, path_bounds, angle_thr, n_per_w,
                    z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, mask_ref,
                    *refs):
     from torchoptics_tpu.ops.pallas_batch import _mu_of_batch, _widx_batch
@@ -869,7 +877,7 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
         xp_ref, yp_ref, cy_ref, *outs = refs
         x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
     i = pl.program_id(1)
-    widx = _widx_batch(i, rows, w)
+    widx = _widx_batch(i, rows, w, n_per_w)
     a_view = _RefView(a_ref)
     x = xp_ref[...]
     y = yp_ref[...]
@@ -942,7 +950,7 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
 
 
 def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
-                   allow_backward, path_bounds, angle_thr,
+                   allow_backward, path_bounds, angle_thr, n_per_w,
                    z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, mask_ref,
                    *rest):
     from torchoptics_tpu.ops.pallas_batch import _mu_of_batch, _widx_batch
@@ -972,7 +980,7 @@ def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
          st_locf, st_locb) = rest
         dpth_ref = dptp_ref = dpz_ref = None
     i = pl.program_id(1)
-    widx = _widx_batch(i, rows, w)
+    widx = _widx_batch(i, rows, w, n_per_w)
     a_view = _RefView(a_ref)
 
     x = xp_ref[...]
@@ -1115,23 +1123,25 @@ def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
     dz0_out[0, 0, 0] += jnp.sum(dz)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def trace_fused_asphere_batch(xp, yp, cy, z0, c, kappa, t, mu, asph,
                               rows=BATCH_ROWS, penalties=False,
                               n_iter=NEWTON_ITERS, allow_backward=True,
-                              mask=None):
+                              mask=None, n_per_w=None):
     """Fused conic/asphere trace of a lens population (B systems).
 
     Args as in ``pallas_batch.trace_fused_batch`` plus ``kappa`` (B, S) and
     ``asph`` (B, S, K). ``mask`` is a static hashable tuple of 0/1 tuples for
-    heterogeneous padded populations (None = all valid)."""
+    heterogeneous padded populations (None = all valid); static
+    ``n_per_w=F*P`` selects wavelength-OUTERMOST flat ray order."""
     return _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows,
-                       penalties, n_iter, allow_backward, mask)
+                       penalties, n_iter, allow_backward, mask,
+                       n_per_w=n_per_w)
 
 
 def _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
                 n_iter, allow_backward, mask, ref_z=None, path_bounds=None,
-                angle_thr=None):
+                angle_thr=None, n_per_w=None):
     from torchoptics_tpu.ops.pallas_batch import (
         _mask_array, _prep, _specs_common, auto_rows)
     full = penalties == "full"
@@ -1164,7 +1174,7 @@ def _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
 
     outs = pl.pallas_call(
         partial(_fwd_kernel_ab, n_surf, w, rows, n_asph, penalties, n_iter,
-                allow_backward, path_bounds, angle_thr),
+                allow_backward, path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec,
                   ct_spec] + [ref_spec] * len(ref_in)
@@ -1182,14 +1192,16 @@ def _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
 
 
 def _fused_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
-                  n_iter, allow_backward, mask):
+                  n_iter, allow_backward, mask, n_per_w):
     out = _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows,
-                      penalties, n_iter, allow_backward, mask)
+                      penalties, n_iter, allow_backward, mask,
+                      n_per_w=n_per_w)
     return out, (xp, yp, cy, z0, c, kappa, t, mu, asph)
 
 
 def _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
-                allow_backward, mask, path_bounds=None, angle_thr=None):
+                allow_backward, mask, path_bounds=None, angle_thr=None,
+                n_per_w=None):
     from torchoptics_tpu.ops.pallas_batch import (
         _mask_array, _prep, _specs_common, auto_rows)
     full = penalties == "full"
@@ -1256,7 +1268,7 @@ def _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
 
     outs = pl.pallas_call(
         partial(_bwd_kernel_ab, n_surf, w, rows, n_asph, penalties, n_iter,
-                allow_backward, path_bounds, angle_thr),
+                allow_backward, path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec,
                   ct_spec] + [ref_spec] * len(ref_in)
@@ -1282,38 +1294,40 @@ def _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
     return grads
 
 
-def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask,
+def _fused_bwd_ab(rows, penalties, n_iter, allow_backward, mask, n_per_w,
                   residuals, cotangents):
     return _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
-                       allow_backward, mask)
+                       allow_backward, mask, n_per_w=n_per_w)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
 def trace_fused_asphere_batch_full(xp, yp, cy, z0, c, kappa, t, mu, asph,
                                    ref_z, rows=BATCH_ROWS,
                                    n_iter=NEWTON_ITERS, allow_backward=True,
                                    mask=None, path_bounds=(),
-                                   angle_thr=0.25):
+                                   angle_thr=0.25, n_per_w=None):
     """``trace_fused_asphere_batch`` with the FULL weighted-loss penalty
     set accumulated in-kernel (homogeneous aspherized populations; see
     ``pallas_batch.trace_fused_batch_full`` for the contract)."""
     return _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "full",
                        n_iter, allow_backward, mask, ref_z, path_bounds,
-                       angle_thr)
+                       angle_thr, n_per_w=n_per_w)
 
 
 def _fused_full_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z, rows,
-                       n_iter, allow_backward, mask, path_bounds, angle_thr):
+                       n_iter, allow_backward, mask, path_bounds, angle_thr,
+                       n_per_w):
     out = _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "full",
                       n_iter, allow_backward, mask, ref_z, path_bounds,
-                      angle_thr)
+                      angle_thr, n_per_w=n_per_w)
     return out, (xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z)
 
 
 def _fused_full_bwd_ab(rows, n_iter, allow_backward, mask, path_bounds,
-                       angle_thr, residuals, cotangents):
+                       angle_thr, n_per_w, residuals, cotangents):
     return _run_bwd_ab(residuals, cotangents, rows, "full", n_iter,
-                       allow_backward, mask, path_bounds, angle_thr)
+                       allow_backward, mask, path_bounds, angle_thr,
+                       n_per_w=n_per_w)
 
 
 trace_fused_asphere_batch.defvjp(_fused_fwd_ab, _fused_bwd_ab)
@@ -1392,10 +1406,9 @@ def compute_losses_fused_asphere(specs, lens, config,
     asphere analogue of ``pallas_trace.compute_losses_fused`` (single
     system). Returns (total, loss_dict) matching the XLA stacks path."""
     import math as _math
-    from torchoptics_tpu.ops import metrics as metrics_mod
     from torchoptics_tpu.ops.pallas_trace import (
         _assert_fused_config, _path_bounds, compress_padded_tail,
-        package_fused_result, prepare_fused_inputs)
+        prepare_fused_inputs, rms2d_flat_wouter)
     from torchoptics_tpu import simulator as sim_mod
 
     cfg = config.trace_config()
@@ -1408,20 +1421,22 @@ def compute_losses_fused_asphere(specs, lens, config,
                           config.ray_path_upper_thresholds)
     angle_thr = _math.cos(_math.radians(config.ray_angle_threshold)) ** 2
 
+    # W-outer front-end + flat reductions: no (F, P, W) relayout ever
+    # materializes (see `pallas_trace.spot_rms_fused`).
     xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
-        specs, lens, cfg, key=key)
+        specs, lens, cfg, key=key, w_order="outer")
+    _, F, P, W = shape
     vertex_z = jnp.cumsum(lens.t[0])
     ref_z = jnp.concatenate((vertex_z, vertex_z[-1:]))
 
     outs = trace_fused_asphere_full(
         xp, yp, cyb, z0, lens.c[0], lens.kappa[0], lens.t[0], mu,
         lens.asph[0], ref_z, rows, cfg.newton_iters,
-        cfg.allow_backward_rays, bounds, angle_thr)
-    result = package_fused_result(outs[:6], shape, False)
-    pth, ptp, pz, ppath, pang = [p.reshape(shape) for p in outs[6:]]
+        cfg.allow_backward_rays, bounds, angle_thr, F * P)
+    pth, ptp, pz, ppath, pang = outs[6:]
 
-    n_rays = shape[1] * shape[2] * shape[3]
-    rms = metrics_mod.compute_rms2d(result.x, result.y, result.ray_ok)[0]
+    n_rays = F * P * W
+    rms = rms2d_flat_wouter(outs[1], outs[4], F, P, W)
     n_sequence = int(lens.structure.n_surfaces[0])
     sumQ = (jnp.sum(pth) + jnp.sum(ptp) + jnp.sum(pz)) / n_sequence
     Lu = rms + config.penalty_rate * sumQ

@@ -43,11 +43,17 @@ def auto_rows(n: int) -> int:
     return rps if rps <= 64 else 8
 
 
-def _widx_batch(i, rows, w):
+def _widx_batch(i, rows, w, n_per_w=None):
+    """Per-ray wavelength index in system-local flat order (see
+    ``pallas_trace._widx``): ``n_per_w=None`` = wavelength innermost
+    (broadcast (F, P, W) flatten); static ``n_per_w`` = wavelength
+    OUTERMOST ((W, F, P) flatten, relayout-free on TPU)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (1, rows, LANES), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, rows, LANES), 2)
     flat = (i * rows + row) * LANES + col
-    return flat % w
+    if n_per_w is None:
+        return flat % w
+    return jnp.minimum(flat // n_per_w, w - 1)
 
 
 def _mu_of_batch(mu_ref, k, widx, w):
@@ -58,7 +64,7 @@ def _mu_of_batch(mu_ref, k, widx, w):
 
 
 def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
-                  angle_thr, z0_ref, c_ref, t_ref, mu_ref, mask_ref,
+                  angle_thr, n_per_w, z0_ref, c_ref, t_ref, mu_ref, mask_ref,
                   *refs):
     full = penalties == "full"
     if full:
@@ -73,7 +79,7 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
         xp_ref, yp_ref, cy_ref, *outs = refs
         x_out, y_out, cx_out, cy_out, ok_out, bw_out = outs
     i = pl.program_id(1)
-    widx = _widx_batch(i, rows, w)
+    widx = _widx_batch(i, rows, w, n_per_w)
     x = xp_ref[...]
     y = yp_ref[...]
     cy = cy_ref[...]
@@ -149,7 +155,7 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
 
 
 def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
-                  angle_thr, z0_ref, c_ref, t_ref, mu_ref, mask_ref,
+                  angle_thr, n_per_w, z0_ref, c_ref, t_ref, mu_ref, mask_ref,
                   *rest):
     full = penalties == "full"
     ref_ref = None
@@ -175,7 +181,7 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
          st_locf, st_locb) = rest
         dpth_ref = dptp_ref = dpz_ref = None
     i = pl.program_id(1)
-    widx = _widx_batch(i, rows, w)
+    widx = _widx_batch(i, rows, w, n_per_w)
 
     x = xp_ref[...]
     y = yp_ref[...]
@@ -316,13 +322,16 @@ def _pad_rays(n: int, rows: int) -> int:
     return int(math.ceil(n / tile) * tile)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def trace_fused_batch(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS,
-                      penalties=False, allow_backward=True, mask=None):
+                      penalties=False, allow_backward=True, mask=None,
+                      n_per_w=None):
     """Fused spherical trace of a lens population.
 
     Args:
-      xp, yp, cy: (B, N) per-system flat ray blocks (wavelength innermost).
+      xp, yp, cy: (B, N) per-system flat ray blocks (wavelength innermost;
+        pass static ``n_per_w=F*P`` for wavelength-OUTERMOST (W, F, P)
+        flat blocks — the relayout-free layout, see ``_widx_batch``).
       z0: (B,) entrance-pupil positions.
       c, t: (B, S); mu: (B, S, W).
       allow_backward: False removes backward rays instead of flagging them.
@@ -332,13 +341,14 @@ def trace_fused_batch(xp, yp, cy, z0, c, t, mu, rows=DEFAULT_ROWS,
     Returns per-system (B, N) outputs (x, y, cx, cy, ok, bw[, pen...]).
     """
     return _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties,
-                      allow_backward, mask)
+                      allow_backward, mask, n_per_w=n_per_w)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def trace_fused_batch_full(xp, yp, cy, z0, c, t, mu, ref_z,
                            rows=DEFAULT_ROWS, allow_backward=True,
-                           mask=None, path_bounds=(), angle_thr=0.25):
+                           mask=None, path_bounds=(), angle_thr=0.25,
+                           n_per_w=None):
     """``trace_fused_batch`` with the FULL weighted-loss penalty set
     accumulated in-kernel, the population analogue of
     ``pallas_trace.trace_fused_full``. Homogeneous batches only (one
@@ -347,7 +357,8 @@ def trace_fused_batch_full(xp, yp, cy, z0, c, t, mu, ref_z,
     ``ref_z`` (B, S+1). Returns the 6 trace outputs plus (pen_theta,
     pen_theta_p, pen_zrelu, pen_path, pen_angle), each (B, N)."""
     return _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, "full",
-                      allow_backward, mask, ref_z, path_bounds, angle_thr)
+                      allow_backward, mask, ref_z, path_bounds, angle_thr,
+                      n_per_w=n_per_w)
 
 
 def _mask_array(mask, B, n_surf):
@@ -381,7 +392,8 @@ def _specs_common(rows, n_surf, w, n_rows):
 
 
 def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
-               mask, ref_z=None, path_bounds=None, angle_thr=None):
+               mask, ref_z=None, path_bounds=None, angle_thr=None,
+               n_per_w=None):
     full = penalties == "full"
     B, n = xp.shape
     if rows is None:
@@ -408,7 +420,7 @@ def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
 
     outs = pl.pallas_call(
         partial(_fwd_kernel_b, n_surf, w, rows, penalties, allow_backward,
-                path_bounds, angle_thr),
+                path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[z0_spec, ct_spec, ct_spec, mu_spec, ct_spec]
         + [ref_spec] * len(ref_in) + [ray_spec, ray_spec, ray_spec],
@@ -424,21 +436,21 @@ def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
 
 
 def _fused_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
-                 mask):
+                 mask, n_per_w):
     out = _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties,
-                     allow_backward, mask)
+                     allow_backward, mask, n_per_w=n_per_w)
     return out, (xp, yp, cy, z0, c, t, mu)
 
 
 def _fused_full_fwd_b(xp, yp, cy, z0, c, t, mu, ref_z, rows, allow_backward,
-                      mask, path_bounds, angle_thr):
+                      mask, path_bounds, angle_thr, n_per_w):
     out = _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, "full", allow_backward,
-                     mask, ref_z, path_bounds, angle_thr)
+                     mask, ref_z, path_bounds, angle_thr, n_per_w=n_per_w)
     return out, (xp, yp, cy, z0, c, t, mu, ref_z)
 
 
 def _run_bwd_b(residuals, cotangents, rows, penalties, allow_backward,
-               mask, path_bounds=None, angle_thr=None):
+               mask, path_bounds=None, angle_thr=None, n_per_w=None):
     full = penalties == "full"
     if full:
         xp, yp, cy, z0, c, t, mu, ref_z = residuals
@@ -499,7 +511,7 @@ def _run_bwd_b(residuals, cotangents, rows, penalties, allow_backward,
 
     outs = pl.pallas_call(
         partial(_bwd_kernel_b, n_surf, w, rows, penalties, allow_backward,
-                path_bounds, angle_thr),
+                path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[z0_spec, ct_spec, ct_spec, mu_spec, ct_spec]
         + [ref_spec] * len(ref_in)
@@ -523,16 +535,16 @@ def _run_bwd_b(residuals, cotangents, rows, penalties, allow_backward,
     return grads
 
 
-def _fused_bwd_b(rows, penalties, allow_backward, mask, residuals,
+def _fused_bwd_b(rows, penalties, allow_backward, mask, n_per_w, residuals,
                  cotangents):
     return _run_bwd_b(residuals, cotangents, rows, penalties,
-                      allow_backward, mask)
+                      allow_backward, mask, n_per_w=n_per_w)
 
 
 def _fused_full_bwd_b(rows, allow_backward, mask, path_bounds, angle_thr,
-                      residuals, cotangents):
+                      n_per_w, residuals, cotangents):
     return _run_bwd_b(residuals, cotangents, rows, "full", allow_backward,
-                      mask, path_bounds, angle_thr)
+                      mask, path_bounds, angle_thr, n_per_w=n_per_w)
 
 
 trace_fused_batch.defvjp(_fused_fwd_b, _fused_bwd_b)
@@ -552,10 +564,20 @@ def _static_mask(structure):
 
 
 def prepare_fused_inputs_batch(specs, lens, cfg, key=None, xy=None,
-                               use_vig=True):
+                               use_vig=True, w_order="inner"):
     """Batched front-end mirroring ``pallas_trace.prepare_fused_inputs``:
     dispersion, pupil placement, sampling, vignetting, ray aiming, EPD
     scaling, flatten to per-system (B, N) ray blocks.
+
+    ``w_order="inner"`` (default) flattens broadcast (F, P, W) blocks —
+    wavelength innermost, matching the packaged result layout but paying a
+    strided relayout on TPU. ``w_order="outer"`` flattens (W, F, P) blocks
+    via the same per-(system, field, λ) affine-probe trick as the
+    single-system fast path (`pallas_trace.prepare_fused_inputs`): the
+    vignetting→aiming→EPD chain is affine in the pupil coordinates, so two
+    probe evaluations extract its coefficients and the big block is built
+    directly in the relayout-free P-minor layout. Pair with the kernels'
+    ``n_per_w=F*P`` wavelength indexing.
 
     Returns (xpb, ypb, cyb, z0, mu, (B, F, P, W))."""
     from torchoptics_tpu.ops import abcd as abcd_mod
@@ -572,6 +594,58 @@ def prepare_fused_inputs_batch(specs, lens, cfg, key=None, xy=None,
                                                 key=key)
     else:
         xp_rel, yp_rel = xy
+
+    F = len(cfg.rel_fields)
+    W = len(cfg.wavelengths)
+
+    if w_order == "outer":
+        assert xp_rel.shape[1] == 1 and xp_rel.shape[3] == 1, (
+            "w_order='outer' needs plain (B?, 1, P, 1) pupil samples")
+        px = xp_rel[:, 0, :, 0]                          # (Bp, P)
+        py = yp_rel[:, 0, :, 0]
+        P = px.shape[1]
+
+        def chain(vx, vy):
+            if use_vig and cfg.vig_fn is not None and cfg.mode != "chief":
+                fields = jnp.asarray(cfg.rel_fields, jnp.float32)[None, :]
+                vig_up = cfg.vig_fn(fields, specs.vig_up)
+                vig_down = cfg.vig_fn(fields, specs.vig_down)
+                vig_x = cfg.vig_fn(fields, specs.vig_x)
+                vy = pupil_mod.apply_vignetting(vy, vig_up, vig_down)
+                vx = pupil_mod.apply_vignetting(vx, vig_x, vig_x)
+            if cfg.n_ray_aiming_iter > 0:
+                from torchoptics_tpu.ops import aiming
+                fn = aiming.ray_aiming(specs, lens.detach(), cfg, use_vig)
+                vx, vy = fn(vx, vy)
+            return vx, vy
+
+        zero = jnp.zeros((B, F, 1, W), jnp.float32)
+        one = jnp.ones((B, F, 1, W), jnp.float32)
+        ox, oy = chain(zero, zero)
+        sx, sy = chain(one, one)
+        sx = sx - ox
+        sy = sy - oy
+        # (B?, F, 1, W) -> (B, W, F, 1): puts the large P axis minor.
+        wf = lambda a: jnp.transpose(
+            jnp.broadcast_to(a, (B, F, 1, W)), (0, 3, 1, 2))
+        pxb = jnp.broadcast_to(px[:, None, None, :], (B, W, F, P))
+        pyb = jnp.broadcast_to(py[:, None, None, :], (B, W, F, P))
+        xrel = pxb * wf(sx) + wf(ox)                     # (B, W, F, P)
+        yrel = pyb * wf(sy) + wf(oy)
+        if cfg.n_ray_aiming_iter > 0:
+            # Same clamp + constant treatment as the jnp engine
+            # (`ray_tracing_lite.py:108-110`).
+            xrel = jax.lax.stop_gradient(jnp.clip(xrel, -2.0, 2.0))
+            yrel = jax.lax.stop_gradient(jnp.clip(yrel, -2.0, 2.0))
+        half_epd = specs.epd[:, None, None, None] / 2.0
+        xpb = (xrel * half_epd).reshape(B, -1)
+        ypb = (yrel * half_epd).reshape(B, -1)
+        u = specs.hfov[:, None] * jnp.asarray(cfg.rel_fields,
+                                              jnp.float32)[None, :]
+        cyb = jnp.broadcast_to(jnp.sin(u)[:, None, :, None],
+                               (B, W, F, P)).reshape(B, -1)
+        return xpb, ypb, cyb, z0, mu, (B, F, P, W)
+
     if use_vig and cfg.vig_fn is not None and cfg.mode != "chief":
         fields = jnp.asarray(cfg.rel_fields, jnp.float32)[None, :]
         vig_up = cfg.vig_fn(fields, specs.vig_up)
@@ -587,8 +661,6 @@ def prepare_fused_inputs_batch(specs, lens, cfg, key=None, xy=None,
     xp = pupil_mod.scale_to_epd(xp_rel, specs.epd)
     yp = pupil_mod.scale_to_epd(yp_rel, specs.epd)
 
-    F = len(cfg.rel_fields)
-    W = len(cfg.wavelengths)
     u = specs.hfov[:, None] * jnp.asarray(cfg.rel_fields,
                                           jnp.float32)[None, :]
     cy = jnp.sin(u)                                      # (B, F)
@@ -597,6 +669,24 @@ def prepare_fused_inputs_batch(specs, lens, cfg, key=None, xy=None,
     ypb = jnp.broadcast_to(yp, (B, F, P, W)).reshape(B, -1)
     cyb = jnp.broadcast_to(cy[:, :, None, None], (B, F, P, W)).reshape(B, -1)
     return xpb, ypb, cyb, z0, mu, (B, F, P, W)
+
+
+def rms2d_flat_wouter_batch(y_flat, ok_flat, F, P, W):
+    """``metrics.compute_rms2d`` on flat wavelength-OUTERMOST batched kernel
+    outputs (B, N): all reductions run on a (B, W, F, P) view whose minor
+    axis is the large contiguous P — no (F, P, W) relayout materializes.
+    Semantics match `ray_tracing_lite.py:678-702` (see
+    ``pallas_trace.rms2d_flat_wouter``); returns per-system RMS, (B,)."""
+    B = y_flat.shape[0]
+    y4 = y_flat.reshape(B, W, F, P)
+    ok4 = ok_flat.reshape(B, W, F, P)
+    ycent = jnp.mean(y4, axis=3)                     # (B, W, F)
+    ymean = jnp.mean(ycent, axis=1)                  # (B, F)
+    dev2 = jnp.where(ok4, (y4 - ymean[:, None, :, None]) ** 2, 0.0)
+    ss = jnp.sum(dev2, axis=(1, 3))                  # (B, F)
+    pos = ss > 0
+    rms_f = jnp.where(pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / (P * W)), 0.0)
+    return jnp.mean(rms_f, axis=1)
 
 
 def trace_rays_fused_batch(specs, lens, config,
@@ -651,8 +741,11 @@ def batched_compute_losses_fused(specs, lens, config,
                           config.ray_path_upper_thresholds)
     angle_thr = _math.cos(_math.radians(config.ray_angle_threshold)) ** 2
 
+    # W-outer front-end + flat reductions: no (F, P, W) relayout ever
+    # materializes (see `pallas_trace.spot_rms_fused`).
     xpb, ypb, cyb, z0, mu, shape = prepare_fused_inputs_batch(
-        specs, lens, cfg, key=key)
+        specs, lens, cfg, key=key, w_order="outer")
+    B, F, P, W = shape
     vertex_z = jnp.cumsum(lens.t, axis=1)                      # (B, S)
     ref_z = jnp.concatenate((vertex_z, vertex_z[:, -1:]), axis=1)
 
@@ -660,7 +753,7 @@ def batched_compute_losses_fused(specs, lens, config,
         outs = trace_fused_batch_full(
             xpb, ypb, cyb, z0, lens.c, lens.t, mu, ref_z, rows,
             cfg.allow_backward_rays, _static_mask(lens.structure), bounds,
-            angle_thr)
+            angle_thr, F * P)
     else:
         from torchoptics_tpu.ops import pallas_asphere
         lens_a = lens
@@ -672,17 +765,14 @@ def batched_compute_losses_fused(specs, lens, config,
             xpb, ypb, cyb, z0, lens_a.c, lens_a.kappa, lens_a.t, mu,
             lens_a.asph, ref_z, rows, cfg.newton_iters,
             cfg.allow_backward_rays, _static_mask(lens.structure), bounds,
-            angle_thr)
-    from torchoptics_tpu.ops import trace as trace_mod
-    x, y, cx, cy_o, ok, bw = [o.reshape(shape) for o in outs[:6]]
-    result = trace_mod.TraceResult(x, y, cx, cy_o, ok, bw, None)
-    pth, ptp, pz, ppath, pang = [p.reshape(shape) for p in outs[6:]]
+            angle_thr, F * P)
+    pth, ptp, pz, ppath, pang = outs[6:]
 
-    n_rays_total = shape[0] * shape[1] * shape[2] * shape[3]
-    rms_b = metrics_mod.compute_rms2d(x, y, ok)                 # (B,)
+    n_rays_total = B * F * P * W
+    rms_b = rms2d_flat_wouter_batch(outs[1], outs[4], F, P, W)  # (B,)
     n_seq = jnp.asarray(lens.structure.n_surfaces, rms_b.dtype)
-    sumQ_b = (jnp.sum(pth, axis=(1, 2, 3)) + jnp.sum(ptp, axis=(1, 2, 3))
-              + jnp.sum(pz, axis=(1, 2, 3))) / n_seq
+    sumQ_b = (jnp.sum(pth, axis=1) + jnp.sum(ptp, axis=1)
+              + jnp.sum(pz, axis=1)) / n_seq
     Lu_b = rms_b + config.penalty_rate * sumQ_b
     loss_dict = {
         "loss_unsup": jnp.mean(Lu_b), "rms": jnp.mean(rms_b),
@@ -712,12 +802,17 @@ def batched_unsupervised_loss(specs, lens, config,
 
     Returns (mean_Lu, {"loss_unsup": (B,), "rms": (B,), "penalty": (B,)}).
     """
-    from torchoptics_tpu.ops import metrics as metrics_mod
-
     cfg = config.trace_config()
+    assert not cfg.double_precision, (
+        "fused kernels are float32; double_precision needs ops.trace")
+    # W-outer front-end + flat reductions (see batched_compute_losses_fused).
+    xpb, ypb, cyb, z0, mu, shape = prepare_fused_inputs_batch(
+        specs, lens, cfg, key=key, w_order="outer")
+    B, F, P, W = shape
     if lens.is_spherical:
-        result, (pth, ptp, pz) = trace_rays_fused_batch(
-            specs, lens, cfg, key=key, rows=rows, penalties=True)
+        outs = trace_fused_batch(xpb, ypb, cyb, z0, lens.c, lens.t, mu,
+                                 rows, True, cfg.allow_backward_rays,
+                                 _static_mask(lens.structure), F * P)
     else:
         from torchoptics_tpu.ops import pallas_asphere
         lens_a = lens
@@ -725,12 +820,14 @@ def batched_unsupervised_loss(specs, lens, config,
             lens_a = lens_a.replace(kappa=jnp.zeros_like(lens_a.c))
         if lens_a.asph is None:
             lens_a = lens_a.replace(asph=jnp.zeros(lens_a.c.shape + (1,)))
-        result, (pth, ptp, pz) = (
-            pallas_asphere.trace_rays_fused_asphere_batch(
-                specs, lens_a, cfg, key=key, rows=rows, penalties=True))
-    rms = metrics_mod.compute_rms2d(result.x, result.y, result.ray_ok)  # (B,)
+        outs = pallas_asphere.trace_fused_asphere_batch(
+            xpb, ypb, cyb, z0, lens_a.c, lens_a.kappa, lens_a.t, mu,
+            lens_a.asph, rows, True, cfg.newton_iters,
+            cfg.allow_backward_rays, _static_mask(lens.structure), F * P)
+    pth, ptp, pz = outs[6:9]
+    rms = rms2d_flat_wouter_batch(outs[1], outs[4], F, P, W)  # (B,)
     n_seq = jnp.asarray(lens.structure.n_surfaces, dtype=rms.dtype)  # (B,)
-    sumQ = (jnp.sum(pth, axis=(1, 2, 3)) + jnp.sum(ptp, axis=(1, 2, 3))
-            + jnp.sum(pz, axis=(1, 2, 3))) / n_seq
+    sumQ = (jnp.sum(pth, axis=1) + jnp.sum(ptp, axis=1)
+            + jnp.sum(pz, axis=1)) / n_seq
     Lu = rms + config.penalty_rate * sumQ
     return jnp.mean(Lu), {"loss_unsup": Lu, "rms": rms, "penalty": sumQ}
