@@ -284,9 +284,27 @@ def main():
         total, _ = imaging.image_quality_loss(
             specs, lens.replace(c=c, t=t), radiance, img_cfg)
         return total
-    img_opt_stats = _stats(jax.jit(jax.value_and_grad(img_loss,
-                                                      argnums=(0, 1))),
-                           (lens.c, lens.t), n_iter=5, reps=5)
+
+    # In-jit scan chain (like pallas_fwdbwd_in_jit): each iteration's params
+    # data-depend on the previous gradient, so nothing can be elided, and the
+    # multi-step call is ms-scale where the relay's completion ack is
+    # trustworthy (a single unchained fwd+bwd here "measured" 28 us — the
+    # documented sub-ms early-ack trap).
+    K_img = 5
+
+    def img_chain(c, t):
+        def body(carry, _):
+            c, t, acc = carry
+            v, (gc, gt) = jax.value_and_grad(img_loss, argnums=(0, 1))(c, t)
+            return (c + 1e-30 * gc, t + 1e-30 * gt, acc + v), None
+        (c, t, acc), _ = jax.lax.scan(body, (c, t, 0.0), None, length=K_img)
+        return acc
+
+    img_opt_chain = _stats(jax.jit(img_chain), (lens.c, lens.t),
+                           n_iter=2, reps=5)
+    img_opt_stats = {**img_opt_chain,
+                     "per_step_s": img_opt_chain["min"] / K_img,
+                     "chain_length": K_img}
 
     best = large["step_ms_best"] / 1e3
     intersections_per_sec = large["intersections_per_sec"]
@@ -308,7 +326,7 @@ def main():
             },
             "image_loss_fwdbwd_256px": {
                 **img_opt_stats,
-                "ms_per_step": img_opt_stats["min"] * 1e3,
+                "ms_per_step": img_opt_stats["per_step_s"] * 1e3,
             },
             "shard_map_fused_1dev_mesh": shard_stats,
             "vpu_microbench": vpu,

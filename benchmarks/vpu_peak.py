@@ -82,8 +82,13 @@ def _chain(op, rows, iters):
 
 
 def _timed(op, rows, iters, n_iter=20, reps=5):
-    """Median seconds/call: calls chained output->input (forces sequential
-    execution) and synced by a real host fetch (see module docstring)."""
+    """Min seconds/call: calls chained output->input (forces sequential
+    execution) and synced by a real host fetch (see module docstring).
+
+    Min, not median: relay interference is strictly additive noise, and a
+    ceiling is by definition the fastest the hardware goes — a median let a
+    slow relay window under-measure the ceiling by ~35% in one session,
+    which made the kernel roofline fraction read as an impossible 1.76."""
     step, x = _chain(op, rows, iters)
     _ = np.asarray(step(x))         # warm/compile + true sync
     ts = []
@@ -94,7 +99,7 @@ def _timed(op, rows, iters, n_iter=20, reps=5):
             out = step(out)
         _ = np.asarray(out)
         ts.append((time.perf_counter() - t0) / n_iter)
-    return float(np.median(ts))
+    return float(np.min(ts))
 
 
 def measure_vpu(rows=ROWS, n_iter=20, reps=5):
