@@ -19,11 +19,12 @@ arithmetic:
   `ops/pallas_trace.py:56-104`).
 
 Roofline interpretation: the kernel op census (`bench.py:OPS_FWD/OPS_BWD`)
-counts every arithmetic lane-op (mul, add, select, cmp) as ONE issue —
-conservative, because Mosaic fuses mul+add pairs into single FMA issues.
-A census-weighted rate at or slightly above ``vpu_lane_ops_per_s``
-therefore means the kernel is AT the hardware issue roofline (the excess
-is the fused fraction the census double-counts).
+counts every arithmetic lane-op (mul, add, select, cmp), plus how many of
+those form mul+add pairs Mosaic fuses into single FMA issues. Assuming
+every pair fuses gives the MINIMUM issue rate consistent with a measured
+intersection rate, so bench.py's ``roofline_fraction`` is a provable lower
+bound on the fraction of this ceiling sustained; the unfused census
+reading may exceed 1, which proves fusion is happening (not headroom).
 
 Protocol — slope over trip counts, forced fetch. Two relay traps shape it:
 
@@ -37,8 +38,10 @@ Protocol — slope over trip counts, forced fetch. Two relay traps shape it:
    time vs fori_loop trip count between two widely spaced counts — fixed
    overheads cancel exactly.
 
-Measured on TPU v5 lite (2026-08-17): fma 1.61e12 lane-issues/s,
-sqrt weight ≈ 4.1, div ≈ 4.6.
+Measured on TPU v5 lite (2026-08-17, idle host): fma 1.80e12
+lane-issues/s, sqrt weight ≈ 4.1, div ≈ 4.5. CAUTION: the measurement is
+host-sensitive — with the single host core contended (e.g. a test suite
+running) the same protocol read 1.24e12, 31% low.
 """
 
 import functools
