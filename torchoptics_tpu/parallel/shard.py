@@ -231,51 +231,61 @@ def sharded_fused_losses(specs: Specs, lens: Lens,
                         kappa=d.get("kappa"), asph=d.get("asph"))
         specs_loc = Specs(st_loc, d["epd"], d["hfov"], d["vig_up"],
                           d["vig_down"], d["vig_x"])
+        # W-outer front-end per shard: the big P_loc axis stays minor and
+        # contiguous, so no (F, P, W) relayout materializes on any device
+        # (same fast path as the single-chip loss — see
+        # `pallas_batch.prepare_fused_inputs_batch`).
         xpb, ypb, cyb, z0, mu, shape = pallas_batch.prepare_fused_inputs_batch(
-            specs_loc, lens_loc, cfg, xy=(d["xp"], d["yp"]))
+            specs_loc, lens_loc, cfg, xy=(d["xp"], d["yp"]), w_order="outer")
+        B_l, F, P_loc, _ = shape
+        n_per_w = F * P_loc
         if full:
             vertex_z = jnp.cumsum(lens_loc.t, axis=1)
             ref_z = jnp.concatenate((vertex_z, vertex_z[:, -1:]), axis=1)
             if spherical:
                 outs = pallas_batch.trace_fused_batch_full(
                     xpb, ypb, cyb, z0, lens_loc.c, lens_loc.t, mu, ref_z,
-                    rows, cfg.allow_backward_rays, mask, bounds, angle_thr)
+                    rows, cfg.allow_backward_rays, mask, bounds, angle_thr,
+                    n_per_w)
             else:
                 from torchoptics_tpu.ops import pallas_asphere
                 outs = pallas_asphere.trace_fused_asphere_batch_full(
                     xpb, ypb, cyb, z0, lens_loc.c, lens_loc.kappa,
                     lens_loc.t, mu, lens_loc.asph, ref_z, rows,
                     cfg.newton_iters, cfg.allow_backward_rays, mask, bounds,
-                    angle_thr)
+                    angle_thr, n_per_w)
         else:
             if spherical:
                 outs = pallas_batch.trace_fused_batch(
                     xpb, ypb, cyb, z0, lens_loc.c, lens_loc.t, mu, rows,
-                    True, cfg.allow_backward_rays, mask)
+                    True, cfg.allow_backward_rays, mask, n_per_w)
             else:
                 from torchoptics_tpu.ops import pallas_asphere
                 outs = pallas_asphere.trace_fused_asphere_batch(
                     xpb, ypb, cyb, z0, lens_loc.c, lens_loc.kappa,
                     lens_loc.t, mu, lens_loc.asph, rows, True,
-                    cfg.newton_iters, cfg.allow_backward_rays, mask)
-        y = outs[1].reshape(shape)
-        ok = outs[4].reshape(shape)
-        pth, ptp, pz = [p.reshape(shape) for p in outs[6:9]]
+                    cfg.newton_iters, cfg.allow_backward_rays, mask,
+                    n_per_w)
+        y4 = outs[1].reshape(B_l, W, F, P_loc)
+        ok4 = outs[4].reshape(B_l, W, F, P_loc)
+        pth, ptp, pz = outs[6:9]                     # (B_loc, N_loc) flat
 
         # Spot RMS with cross-shard moments — exactly
         # metrics.compute_rms2d's semantics (all-ray centroid, ok-masked
-        # deviations, all-ray denominator), with the ray-axis sums psummed.
-        ycent = jax.lax.psum(jnp.sum(y, axis=2),
-                             mesh_mod.RAY_AXIS) / P_total       # (B, F, W)
-        ymean = jnp.mean(ycent, axis=-1)                        # (B, F)
-        dev2 = jnp.where(ok, (y - ymean[:, :, None, None]) ** 2, 0.0)
-        ss = jax.lax.psum(jnp.sum(dev2, axis=(2, 3)), mesh_mod.RAY_AXIS)
+        # deviations, all-ray denominator), with the ray-axis sums psummed;
+        # reductions run on the (B, W, F, P_loc) view of the flat W-outer
+        # kernel outputs (`pallas_batch.rms2d_flat_wouter_batch`).
+        ycent = jax.lax.psum(jnp.sum(y4, axis=3),
+                             mesh_mod.RAY_AXIS) / P_total      # (B, W, F)
+        ymean = jnp.mean(ycent, axis=1)                        # (B, F)
+        dev2 = jnp.where(ok4, (y4 - ymean[:, None, :, None]) ** 2, 0.0)
+        ss = jax.lax.psum(jnp.sum(dev2, axis=(1, 3)), mesh_mod.RAY_AXIS)
         pos = ss > 0
         rms_f = jnp.where(
             pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / (P_total * W)), 0.0)
         rms_b = jnp.mean(rms_f, axis=1)                         # (B_loc,)
 
-        sumQ_b = jax.lax.psum(jnp.sum(pth + ptp + pz, axis=(1, 2, 3)),
+        sumQ_b = jax.lax.psum(jnp.sum(pth + ptp + pz, axis=1),
                               mesh_mod.RAY_AXIS) / n_seq        # (B_loc,)
         Lu_b = rms_b + config.penalty_rate * sumQ_b
 
@@ -283,7 +293,7 @@ def sharded_fused_losses(specs: Specs, lens: Lens,
         out = {"loss_unsup": mean_lens(Lu_b), "rms": mean_lens(rms_b),
                "penalty": mean_lens(sumQ_b)}
         if full:
-            ppath, pang = [p.reshape(shape) for p in outs[9:11]]
+            ppath, pang = outs[9:11]                 # (B_loc, N_loc) flat
             psum_all = lambda v: jax.lax.psum(
                 jax.lax.psum(jnp.sum(v), mesh_mod.RAY_AXIS),
                 mesh_mod.LENS_AXIS)
