@@ -1,0 +1,173 @@
+"""Monte-Carlo tolerancing, sensitivity tables, and MTF (analysis.py).
+
+TPU-build superset — no reference counterpart; tests pin the statistical
+semantics, engine parity, and differentiability.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from torchoptics_tpu import analysis, simulator as sim, zoo
+from torchoptics_tpu.ops import psf as psf_mod
+
+CFG = sim.SimulatorConfig(
+    n_sampled_fields=3, n_pupil_rings=4, pupil_sampling="circular",
+    n_ray_aiming_iter=1, wavelengths=(459.0, 520.0, 640.0))
+
+
+def test_tile_population_shapes():
+    specs, lens = zoo.build("cooke")
+    specs_n, lens_n = analysis.tile_population(specs, lens, 5)
+    assert len(lens_n) == 5 and len(specs_n) == 5
+    np.testing.assert_array_equal(np.asarray(lens_n.c),
+                                  np.tile(np.asarray(lens.c), (5, 1)))
+    with pytest.raises(ValueError, match="single design"):
+        analysis.tile_population(specs_n, lens_n, 2)
+
+
+def test_zero_tolerance_is_nominal():
+    specs, lens = zoo.build("cooke")
+    out = analysis.tolerance_analysis(
+        specs, lens, CFG, analysis.Tolerances(), n_samples=4,
+        key=jax.random.key(0))
+    rms = np.asarray(out["rms"])
+    np.testing.assert_allclose(rms, rms[0], rtol=0, atol=0)
+    assert float(out["std"]) == 0.0
+
+
+def test_perturbation_statistics_and_yield():
+    specs, lens = zoo.build("cooke")
+    tol = analysis.Tolerances(c=2e-4, t=0.02, nd=1e-3, v=0.2)
+    out = analysis.tolerance_analysis(
+        specs, lens, CFG, tol, n_samples=64, key=jax.random.key(1),
+        rms_threshold=None, percentiles=(50.0, 90.0))
+    rms = np.asarray(out["rms"])
+    assert rms.shape == (64,)
+    assert np.isfinite(rms).all()
+    assert float(out["std"]) > 0.0
+    # percentiles are ordered and bracket the mean region
+    assert float(out["p50"]) <= float(out["p90"])
+    # sample 0 is exactly the nominal design
+    nom = analysis.tolerance_analysis(
+        specs, lens, CFG, analysis.Tolerances(), n_samples=2,
+        key=jax.random.key(2))["nominal_rms"]
+    np.testing.assert_allclose(float(out["nominal_rms"]), float(nom),
+                               rtol=1e-6)
+    # yield is monotone in the threshold
+    y_lo = analysis.tolerance_analysis(
+        specs, lens, CFG, tol, n_samples=64, key=jax.random.key(1),
+        rms_threshold=float(out["p50"]))["yield_fraction"]
+    y_hi = analysis.tolerance_analysis(
+        specs, lens, CFG, tol, n_samples=64, key=jax.random.key(1),
+        rms_threshold=float(out["p90"]))["yield_fraction"]
+    assert 0.0 <= float(y_lo) <= float(y_hi) <= 1.0
+    assert abs(float(y_lo) - 0.5) < 0.15 and abs(float(y_hi) - 0.9) < 0.15
+
+
+def test_uniform_distribution_and_jit():
+    specs, lens = zoo.build("cooke")
+    tol = analysis.Tolerances(t=0.01, distribution="uniform")
+    run = jax.jit(lambda k: analysis.tolerance_analysis(
+        specs, lens, CFG, tol, n_samples=8, key=k))
+    out = run(jax.random.key(0))
+    assert np.isfinite(np.asarray(out["rms"])).all()
+    with pytest.raises(ValueError, match="distribution"):
+        analysis.Tolerances(distribution="lognormal")
+
+
+def test_pallas_engine_matches_xla():
+    specs, lens = zoo.build("cooke")
+    tol = analysis.Tolerances(c=2e-4, t=0.02)
+    cfg_p = sim.SimulatorConfig(
+        n_sampled_fields=3, n_pupil_rings=4, pupil_sampling="circular",
+        n_ray_aiming_iter=1, wavelengths=(459.0, 520.0, 640.0),
+        trace_engine="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        out_p = analysis.tolerance_analysis(
+            specs, lens, cfg_p, tol, n_samples=6, key=jax.random.key(3))
+    out_x = analysis.tolerance_analysis(
+        specs, lens, CFG, tol, n_samples=6, key=jax.random.key(3))
+    np.testing.assert_allclose(np.asarray(out_p["rms"]),
+                               np.asarray(out_x["rms"]), rtol=2e-4,
+                               atol=1e-6)
+
+
+def test_sensitivities_match_finite_differences():
+    specs, lens = zoo.build("cooke")
+    g = analysis.sensitivities(specs, lens, CFG)
+    assert set(g) == {"c", "t", "nd", "v"}
+    for k, a in g.items():
+        assert np.isfinite(np.asarray(a)).all(), k
+    # padding surfaces carry zero sensitivity
+    mask = lens.structure.mask[0]
+    assert np.all(np.asarray(g["c"])[0, ~mask] == 0.0)
+    # central difference on the most sensitive curvature
+    gc = np.asarray(g["c"])[0]
+    j = int(np.argmax(np.abs(gc)))
+    eps = 1e-5
+
+    def rms_at(cj):
+        c = lens.c.at[0, j].set(cj)
+        return float(analysis._per_sample_rms(
+            specs, lens.replace(c=c), CFG)[0])
+
+    fd = (rms_at(float(lens.c[0, j]) + eps)
+          - rms_at(float(lens.c[0, j]) - eps)) / (2 * eps)
+    # f32 trace: the FD quotient itself carries ~0.3% noise at this eps
+    np.testing.assert_allclose(gc[j], fd, rtol=1e-2)
+
+
+def test_mtf_basic_properties():
+    # A narrow PSF transfers more contrast than a broad one.
+    n = 33
+    yy, xx = np.meshgrid(np.arange(n) - n // 2, np.arange(n) - n // 2,
+                         indexing="ij")
+
+    def gauss(sigma):
+        p = np.exp(-(xx ** 2 + yy ** 2) / (2 * sigma ** 2))
+        return jnp.asarray(p / p.sum(), jnp.float32)
+
+    out_narrow = psf_mod.compute_mtf(gauss(0.7), pixel_size=4e-3)
+    out_broad = psf_mod.compute_mtf(gauss(3.0), pixel_size=4e-3)
+    for out in (out_narrow, out_broad):
+        assert out["mtf_t"].shape == (n // 2 + 1,)
+        np.testing.assert_allclose(float(out["mtf_t"][0]), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["mtf_t"]),
+                                   np.asarray(out["mtf_s"]), atol=1e-6)
+    assert float(out_narrow["mtf_t"][5]) > float(out_broad["mtf_t"][5])
+    # frequency axis: rfftfreq of the 33-sample grid at 4 um pitch
+    np.testing.assert_allclose(float(out_narrow["freqs_t"][-1]),
+                               (n // 2) / (n * 4e-3), rtol=1e-6)
+    # analytic check: MTF of a sampled Gaussian PSF is Gaussian,
+    # exp(-2 (pi f sigma_mm)^2)
+    sigma_mm = 3.0 * 4e-3
+    f = np.asarray(out_broad["freqs_t"])
+    expected = np.exp(-2 * (np.pi * f * sigma_mm) ** 2)
+    np.testing.assert_allclose(np.asarray(out_broad["mtf_t"]), expected,
+                               atol=5e-3)
+
+
+def test_field_mtf_end_to_end():
+    specs, lens = zoo.build("cooke")
+    cfg = sim.SimulatorConfig(
+        n_sampled_fields=3, n_pupil_rings=6, pupil_sampling="circular",
+        n_ray_aiming_iter=1, wavelengths=(459.0, 520.0, 640.0),
+        psf_shape=(33, 33), psf_abs_pixel_size=4e-3)
+    out = analysis.field_mtf(specs, lens, cfg)
+    assert out["mtf_t"].shape == (3, 3, 17)
+    m = np.asarray(out["mtf_t"])
+    assert np.isfinite(m).all()
+    np.testing.assert_allclose(m[..., 0], 1.0, rtol=1e-5)
+    assert (m <= 1.0 + 1e-5).all()
+
+    # differentiable: gradient of mid-frequency tangential MTF wrt c
+    def obj(c):
+        o = analysis.field_mtf(specs, lens.replace(c=c), cfg)
+        return jnp.mean(o["mtf_t"][..., 4])
+
+    g = jax.grad(obj)(lens.c)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0.0

@@ -27,7 +27,7 @@ from torchoptics_tpu.models import glass, io, zoo  # noqa: F401
 from torchoptics_tpu.ops import (  # noqa: F401
     abcd, aiming, image, metrics, psf, pupil, surfaces, trace)
 from torchoptics_tpu.ops.trace import TraceConfig, TraceResult, trace_rays  # noqa: F401
-from torchoptics_tpu import imaging, loss, optimize, simulator  # noqa: F401
+from torchoptics_tpu import analysis, imaging, loss, optimize, simulator  # noqa: F401
 from torchoptics_tpu.simulator import RaytracedOptics, SimulatorConfig  # noqa: F401
 
 __version__ = "0.1.0"
