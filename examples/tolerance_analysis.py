@@ -90,6 +90,32 @@ def main():
         print(f"MTF_t @ {f[i]:5.1f} cyc/mm per field: "
               + " ".join(f"{v:.3f}" for v in vals))
 
+    # Wave picture: on-axis OPD -> Zernikes -> Strehl (ops.wavefront).
+    from torchoptics_tpu.ops import trace as trace_mod
+    from torchoptics_tpu.ops import wavefront as wfront
+    n = 15
+    g = np.linspace(-0.9, 0.9, n)
+    X, Y = np.meshgrid(g, g, indexing="xy")
+    xr = jax.numpy.asarray(X.ravel()[None, None, :, None],
+                           jax.numpy.float32)
+    yr = jax.numpy.asarray(Y.ravel()[None, None, :, None],
+                           jax.numpy.float32)
+    cfg0 = trace_mod.TraceConfig(mode="circular", n_rays=(2, 2),
+                                 rel_fields=(0.0,), wavelengths=(520.0,),
+                                 n_ray_aiming_iter=0)
+    out_w = wfront.opd_map(specs, lens, cfg0, xy=(xr, yr))
+    opd = out_w["opd"][0, 0, :, 0]
+    ok = out_w["ok"][0, 0, :, 0] & jax.numpy.asarray(
+        ((X ** 2 + Y ** 2) <= 1.0).ravel())
+    lam = 520e-6
+    cz = wfront.zernike_fit(opd, xr[0, 0, :, 0], yr[0, 0, :, 0], ok)
+    low = wfront.zernike_basis(4, xr[0, 0, :, 0], yr[0, 0, :, 0]) @ cz[:4]
+    s = float(wfront.strehl_ratio(
+        jax.numpy.where(ok, opd - low, 0.0), ok, lam))
+    print(f"\nOn-axis wavefront @ 520nm: Strehl {s:.3f} "
+          f"(piston/tilt/defocus removed); Z11 spherical "
+          f"{float(cz[10]) / lam:+.3f} waves")
+
 
 if __name__ == "__main__":
     main()

@@ -25,7 +25,7 @@ from torchoptics_tpu.models.structure import (  # noqa: F401
     Lens, Specs, Structure, find_valid_curvatures, mask_gather, mask_scatter)
 from torchoptics_tpu.models import glass, io, zoo  # noqa: F401
 from torchoptics_tpu.ops import (  # noqa: F401
-    abcd, aiming, image, metrics, psf, pupil, surfaces, trace)
+    abcd, aiming, image, metrics, psf, pupil, surfaces, trace, wavefront)
 from torchoptics_tpu.ops.trace import TraceConfig, TraceResult, trace_rays  # noqa: F401
 from torchoptics_tpu import analysis, imaging, loss, optimize, simulator  # noqa: F401
 from torchoptics_tpu.simulator import RaytracedOptics, SimulatorConfig  # noqa: F401

@@ -40,7 +40,10 @@ from torchoptics_tpu.ops import surfaces as surf
 # Aggregate stack names.
 AGG_TORCH = ("z_RELU", "theta_norm", "theta_prime_norm")   # torch engine set
 AGG_TF = ("z", "sin", "sin_prime")                          # TF engine set
-AGG_ALL = AGG_TORCH + AGG_TF + ("cos2", "cos2_prime", "x", "y")
+# "dist" (TPU-build superset): per-surface geometric marching distance,
+# with the final surface->image-plane leg appended (S+1 entries) — the
+# building block for optical path lengths (ops.wavefront).
+AGG_ALL = AGG_TORCH + AGG_TF + ("cos2", "cos2_prime", "x", "y", "dist")
 
 
 class TraceResult(NamedTuple):
@@ -197,7 +200,7 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
 
         z = z - tk
         state = (x, y, z, cx, cy, cz, ray_ok, ray_backward)
-        return state, inter.cos2_theta, cos2_prime
+        return state, inter.cos2_theta, cos2_prime, inter.distance
 
     state = (x, y, z, cx, cy, cz, ray_ok, ray_backward)
 
@@ -212,15 +215,16 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
             # prev_mask & ~first is all-False on the pupil -> first-surface
             # leg, making the bookkeeping a no-op there — same semantics as
             # the unrolled engine's prev_mask=None skip.
-            state, cos2_theta, cos2_prime = surface_step(
+            state, cos2_theta, cos2_prime, distk = surface_step(
                 (ck, tk, muk, maskk, kapk, asphk), carry,
                 prev_maskk & ~first_k)
             x, y, z, _cx, _cy, _cz, ray_ok, _bw = state
             # Per-surface aggregate entries ride out as stacked scan ys —
             # same post-step state/locals as the unrolled engine uses.
             ys = tuple(
-                jnp.broadcast_to(x if name == "x" else y, full_shape)
-                if name in ("x", "y") else
+                jnp.broadcast_to(x if name == "x" else
+                                 (y if name == "y" else distk), full_shape)
+                if name in ("x", "y", "dist") else
                 _agg_entry(name, ray_ok, z, cos2_theta, cos2_prime,
                            full_shape)
                 for name in aggregate) or None
@@ -248,7 +252,8 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
                 None if asph is None else asph[..., k, :],
             )
             prev_mask = mask[..., k - 1] if k > 0 else None
-            state, cos2_theta, cos2_prime = surface_step(params, state, prev_mask)
+            state, cos2_theta, cos2_prime, dist_k = surface_step(
+                params, state, prev_mask)
             if aggregate:
                 x_, y_, z_, cx_, cy_, cz_, ok_, bw_ = state
                 for name in aggregate:
@@ -256,6 +261,9 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
                         stacks[name].append(jnp.broadcast_to(x_, full_shape))
                     elif name == "y":
                         stacks[name].append(jnp.broadcast_to(y_, full_shape))
+                    elif name == "dist":
+                        stacks[name].append(
+                            jnp.broadcast_to(dist_k, full_shape))
                     else:
                         stacks[name].append(_agg_entry(
                             name, ok_, z_, cos2_theta, cos2_prime,
@@ -286,6 +294,12 @@ def trace_skew(x, y, z, cx, cy, c, t, mu, mask,
             out_stacks["z"] = jnp.concatenate(
                 (out_stacks["z"],
                  jnp.broadcast_to(z + delta_z, full_shape)[None]), axis=0)
+        if "dist" in out_stacks:
+            # Final leg: last surface -> image plane (see module header of
+            # ops.wavefront for the OPL assembly that consumes this).
+            out_stacks["dist"] = jnp.concatenate(
+                (out_stacks["dist"],
+                 jnp.broadcast_to(dist, full_shape)[None]), axis=0)
 
     return TraceResult(x, y, cx, cy, ray_ok, ray_backward, out_stacks)
 
