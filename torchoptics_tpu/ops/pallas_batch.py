@@ -110,16 +110,25 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
                 x, y, z, cx, cy, cz, ok2 = _kill_backward(
                     went_bw, t_ref[0, 0, k], x, y, z, cx, cy, cz, ok2)
         ok = ok2
+        # Padding surfaces of heterogeneous batches contribute NOTHING to
+        # the penalties — the XLA path masks its aggregate stacks the same
+        # way (`simulator.compute_loss_out` surface_mask; the reference
+        # traces each sample at natural length, `optical_loss.py:105-111`).
+        valid_k = mask_ref[0, 0, k] > 0
         if penalties:
-            pen_th = pen_th + _theta_norm(loc["cos2"], ok)
-            pen_tp = pen_tp + _theta_norm(loc["cos2p"], ok)
-            pen_z = pen_z + jnp.maximum(z, 0.0)
+            pen_th = pen_th + jnp.where(
+                valid_k, _theta_norm(loc["cos2"], ok), 0.0)
+            pen_tp = pen_tp + jnp.where(
+                valid_k, _theta_norm(loc["cos2p"], ok), 0.0)
+            pen_z = pen_z + jnp.where(valid_k, jnp.maximum(z, 0.0), 0.0)
         if full:
             # Angle + path hinges, as in pallas_trace._fwd_kernel's full
             # branch (homogeneous batch: per-gap bounds are static/shared,
             # per-system ref_z rides in SMEM).
-            pen_ang = (pen_ang + jnp.maximum(angle_thr - loc["cos2"], 0.0)
-                       + jnp.maximum(angle_thr - loc["cos2p"], 0.0))
+            pen_ang = pen_ang + jnp.where(
+                valid_k,
+                jnp.maximum(angle_thr - loc["cos2"], 0.0)
+                + jnp.maximum(angle_thr - loc["cos2p"], 0.0), 0.0)
             if k > 0:
                 delta = ((z + ref_ref[0, 0, k])
                          - (z_prev + ref_ref[0, 0, k - 1]))
@@ -268,14 +277,20 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
             kill = ((loc["dist"] * st_cz[k] < 0) & loc["ok1"]
                     & (mask_ref[0, 0, k - 1] > 0))
         dcos2_extra = dcos2p_extra = None
+        # Adjoint of the forward's padding-surface masking: no penalty
+        # cotangent flows through padded surfaces.
+        valid_k = mask_ref[0, 0, k] > 0
         if penalties:
             ok_end = loc["ok1"] & ~loc["fail2"]
             if kill is not None:
                 ok_end = ok_end & ~kill
             z_next = st_z[k + 1] if k + 1 < n_surf else z
-            dz = dz + dpz * (z_next > 0)
-            dcos2_extra = _theta_norm_adjoint(loc["cos2"], ok_end, dpth)
-            dcos2p_extra = _theta_norm_adjoint(loc["cos2p"], ok_end, dptp)
+            dz = dz + dpz * ((z_next > 0) & valid_k)
+            dcos2_extra = jnp.where(
+                valid_k, _theta_norm_adjoint(loc["cos2"], ok_end, dpth), 0.0)
+            dcos2p_extra = jnp.where(
+                valid_k, _theta_norm_adjoint(loc["cos2p"], ok_end, dptp),
+                0.0)
         if full:
             # Path/angle adjoints (see pallas_trace._bwd_kernel full branch).
             hp_k = hinge_cot(k)
@@ -284,10 +299,12 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
                 dz = dz + hinge_cot(k - 1)
             dref_out[0, 0, k + 1] += jnp.sum(hp_k)
             dref_out[0, 0, k] += -jnp.sum(hp_k)
-            dcos2_extra = dcos2_extra - dpang * (
-                loc["cos2"] < angle_thr).astype(jnp.float32)
-            dcos2p_extra = dcos2p_extra - dpang * (
-                loc["cos2p"] < angle_thr).astype(jnp.float32)
+            dcos2_extra = dcos2_extra - jnp.where(
+                valid_k,
+                dpang * (loc["cos2"] < angle_thr).astype(jnp.float32), 0.0)
+            dcos2p_extra = dcos2p_extra - jnp.where(
+                valid_k,
+                dpang * (loc["cos2p"] < angle_thr).astype(jnp.float32), 0.0)
         dt_kill = None
         if kill is not None:
             dt_kill = -jnp.sum(jnp.where(kill, dz, 0.0))
