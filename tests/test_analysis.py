@@ -120,6 +120,43 @@ def test_sensitivities_match_finite_differences():
     np.testing.assert_allclose(gc[j], fd, rtol=1e-2)
 
 
+def test_wavefront_rms_objective_optimizes():
+    """Direct wavefront optimization — the wave-optics objective the
+    reference fundamentally lacks: a defocus-perturbed triplet recovers
+    within a few Adam steps on d(wavefront RMS)/d(c, t)."""
+    from torchoptics_tpu import trace
+
+    specs, lens = zoo.build("cooke")
+    lens0 = lens.replace(t=lens.t.at[0, -1].add(0.4))  # defocused
+    n = 9
+    g = np.linspace(-0.85, 0.85, n)
+    X, Y = np.meshgrid(g, g, indexing="xy")
+    xy = (jnp.asarray(X.ravel()[None, None, :, None], jnp.float32),
+          jnp.asarray(Y.ravel()[None, None, :, None], jnp.float32))
+    cfg = trace.TraceConfig(mode="circular", n_rays=(2, 2),
+                            rel_fields=(0.0, 0.7), wavelengths=(520.0,),
+                            n_ray_aiming_iter=0, engine="scan")
+
+    from torchoptics_tpu import optimize as opt_mod
+
+    def wf_loss(specs_, lens_, config_, g_, catalog_g_, key_):
+        # remove piston+tilt only: defocus must be corrected by the lens
+        w = analysis.wavefront_rms(specs_, lens_, cfg, xy=xy, remove_j=3)
+        return w, {"wavefront_rms": w}
+
+    sim_cfg = sim.SimulatorConfig(trace_engine="scan")
+    opt = opt_mod.LensOptimizer(specs, sim_cfg, learning_rate=5e-3,
+                                add_bfl=False, trainable=("c", "t"),
+                                efl_target=float(lens.efl[0]), loss_fn=wf_loss)
+    state = opt.init(lens0)
+    v0 = float(opt.loss(state.params)[0])
+    for _ in range(15):
+        state, v, _ = opt.step(state, None)
+    v1 = float(opt.loss(state.params)[0])
+    assert np.isfinite(v0) and np.isfinite(v1)
+    assert v1 < 0.6 * v0, (v0, v1)
+
+
 def test_mtf_basic_properties():
     # A narrow PSF transfers more contrast than a broad one.
     n = 33

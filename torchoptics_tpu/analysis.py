@@ -194,6 +194,50 @@ def tolerance_analysis(specs: Specs, lens: Lens,
     return out
 
 
+def wavefront_rms(specs: Specs, lens: Lens,
+                  config: trace_mod.TraceConfig,
+                  xy=None, remove_j: int = 4,
+                  key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Mean (over fields/wavelengths) RMS wavefront error in mm, with the
+    first ``remove_j`` Noll terms (default piston/tilt/defocus) projected
+    out per (field, λ) — the classical "best-focus wavefront error".
+
+    Fully differentiable: usable directly as an optimization objective
+    (minimizing it maximizes Strehl via Maréchal). XLA engines only (needs
+    the ``"dist"`` aggregate).
+    """
+    from torchoptics_tpu.ops import pupil as pupil_mod
+    from torchoptics_tpu.ops import wavefront as wf
+
+    out = wf.opd_map(specs, lens, config, key=key, xy=xy)
+    opd = out["opd"]                                  # (B, F, P, W)
+    ok = out["ok"]
+    if xy is None:
+        xp_rel, yp_rel = pupil_mod.sample_pupil(
+            config.mode, config.n_rays, len(lens), key=key)
+    else:
+        xp_rel, yp_rel = xy
+    xr = jnp.broadcast_to(xp_rel, opd.shape)
+    yr = jnp.broadcast_to(yp_rel, opd.shape)
+    # samples along P (axis 2) -> move minor for the fit
+    opd_m = jnp.moveaxis(opd, 2, -1)                  # (B, F, W, P)
+    ok_m = jnp.moveaxis(ok, 2, -1)
+    xr_m = jnp.moveaxis(xr, 2, -1)
+    yr_m = jnp.moveaxis(yr, 2, -1)
+    coef = wf.zernike_fit(opd_m, xr_m, yr_m, ok_m, j_max=remove_j)
+    # elementwise contraction — this stack's generic dot is
+    # reduced-precision (CLAUDE.md) and a 0.5% leak of a 10-wave defocus
+    # term would swamp a λ/50 residual
+    low = jnp.sum(wf.zernike_basis(remove_j, xr_m, yr_m)
+                  * coef[..., None, :], axis=-1)
+    resid = opd_m - low
+    w = ok_m.astype(opd.dtype)
+    nrm = jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+    mean = jnp.sum(resid * w, axis=-1) / nrm
+    var = jnp.sum(w * (resid - mean[..., None]) ** 2, axis=-1) / nrm
+    return jnp.mean(jnp.sqrt(var + 1e-20))
+
+
 def sensitivities(specs: Specs, lens: Lens,
                   config: sim_mod.SimulatorConfig,
                   key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
