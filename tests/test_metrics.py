@@ -119,3 +119,47 @@ def test_relative_illumination_batched():
     # the first wavelength is exactly 1 on axis
     np.testing.assert_allclose(ri[:, 0, 0], 1.0, rtol=1e-3)
     assert (ri > 0.2).all() and (ri < 1.2).all()
+
+
+def test_axial_color_singlet_f_over_v_law():
+    """Thin-lens chromatic focal shift: BFL(F) - BFL(C) ≈ -EFL/V — the
+    classical f/V law (TPU-build superset metric)."""
+    from torchoptics_tpu import abcd
+
+    specs, lens = zoo.build("singlet")
+    efl = float(abcd.get_first_order(lens)[0][0])
+    v = float(lens.flat_v[0])
+    ax = float(metrics.compute_axial_color(lens, ("F", "C"))[0])
+    np.testing.assert_allclose(ax, -efl / v, rtol=0.12)
+    # sign flips with the wavelength order
+    ax_rev = float(metrics.compute_axial_color(lens, ("C", "F"))[0])
+    np.testing.assert_allclose(ax_rev, -ax, rtol=1e-6)
+
+
+def test_chromatic_metrics_corrected_designs():
+    """Color-corrected designs sit well below the single-element f/V scale
+    (measured: cooke -0.197, double-Gauss -0.070, vs singlet-equivalent
+    ~0.54 at this EFL), and both metrics are differentiable."""
+    from torchoptics_tpu import abcd
+
+    specs, lens = zoo.build("cooke")
+    efl = float(abcd.get_first_order(lens)[0][0])
+    v_min = float(np.min(np.asarray(lens.flat_v)))
+    ax = float(metrics.compute_axial_color(lens)[0])
+    assert abs(ax) < 0.5 * efl / v_min, (ax, efl / v_min)
+    lat = float(metrics.compute_lateral_color(specs, lens)[0])
+    assert abs(lat) < 0.05, lat
+
+    s_dg, l_dg = zoo.build("double_gauss")
+    efl_dg = float(abcd.get_first_order(l_dg)[0][0])
+    v_min_dg = float(np.min(np.asarray(l_dg.flat_v)))
+    assert abs(float(metrics.compute_axial_color(l_dg)[0])) < (
+        0.1 * efl_dg / v_min_dg)
+    assert abs(float(metrics.compute_lateral_color(s_dg, l_dg)[0])) < 0.01
+
+    g = jax.grad(lambda c: metrics.compute_axial_color(
+        lens.replace(c=c))[0])(lens.c)
+    assert np.isfinite(np.asarray(g)).all()
+    g2 = jax.grad(lambda c: metrics.compute_lateral_color(
+        specs, lens.replace(c=c))[0])(lens.c)
+    assert np.isfinite(np.asarray(g2)).all()

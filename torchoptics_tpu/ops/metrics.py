@@ -182,3 +182,43 @@ def compute_ray_aiming_error(specs: Specs, lens: Lens, rel_fields,
         y = pupil_mod.apply_vignetting(y, vig_up, vig_down)
 
     return res.y / rs - y
+
+
+def compute_axial_color(lens: Lens, wavelengths=("F", "C")) -> jnp.ndarray:
+    """Axial (longitudinal) chromatic aberration: BFL(λ₁) − BFL(λ₂), (B,).
+
+    TPU-build superset — the reference has per-λ tracing but no chromatic
+    focal-shift metric. Paraxial, via the per-wavelength ABCD chain with
+    the elementwise 2×2 products of `ops.abcd` (no reduced-precision dot).
+    For a thin singlet this closes on the classical −EFL/V law
+    (`tests/test_metrics.py`)."""
+    from torchoptics_tpu.models import glass as glass_mod
+    wl = glass_mod.resolve_wavelengths(tuple(wavelengths))
+    n = lens.get_refractive_indices(wl)                     # (B, S, 2)
+    st = lens.structure
+    rows = np.arange(len(lens))
+    last = st.n_surfaces - 1
+    t = lens.t.at[rows, last].set(0.0)
+
+    def bfl_at(n_w):
+        n_full = jnp.concatenate((jnp.ones_like(n_w[:, :1]), n_w), axis=1)
+        m = abcd_mod.reduce_abcd(
+            abcd_mod.interface_propagation_abcd(lens.c, t, n_full))
+        return -m[:, 0, 0] / m[:, 1, 0]
+
+    return bfl_at(n[..., 0]) - bfl_at(n[..., 1])
+
+
+def compute_lateral_color(specs: Specs, lens: Lens, rel_field: float = 1.0,
+                          wavelengths=("F", "C"),
+                          n_ray_aiming_iter: int = 1) -> jnp.ndarray:
+    """Lateral (transverse) chromatic aberration: chief-ray image-height
+    difference y(λ₁) − y(λ₂) at ``rel_field``, (B,), in mm. Real chief-ray
+    trace (TPU-build superset; no reference counterpart)."""
+    from torchoptics_tpu.ops import trace as trace_mod
+    cfg = trace_mod.TraceConfig(
+        mode="chief", n_rays=(1,), rel_fields=(float(rel_field),),
+        wavelengths=tuple(wavelengths),
+        n_ray_aiming_iter=n_ray_aiming_iter)
+    res = trace_mod.trace_rays(specs, lens, cfg)
+    return res.y[:, 0, 0, 0] - res.y[:, 0, 0, 1]
