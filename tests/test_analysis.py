@@ -187,6 +187,41 @@ def test_mtf_basic_properties():
                                atol=5e-3)
 
 
+def test_diffraction_mtf_matches_circular_aperture_theory():
+    """Unaberrated circular pupil: diffraction MTF equals the analytic
+    autocorrelation 2/π·(acos s − s√(1−s²)) — pins the OPD→PSF→MTF chain
+    end to end through a real (diffraction-limited) traced lens."""
+    from torchoptics_tpu import trace
+
+    specs, lens = zoo.build("double_gauss_asph")   # Strehl 0.99 on axis
+    cfg = trace.TraceConfig(mode="circular", n_rays=(2, 2),
+                            rel_fields=(0.0,), wavelengths=(520.0,),
+                            n_ray_aiming_iter=0)
+    out = analysis.diffraction_mtf(specs, lens, cfg, grid_n=32, pad=4)
+    rel = np.asarray(out["rel_freqs"])
+    mtf = np.asarray(out["mtf_t"][0, 0])
+    s = np.clip(rel, 0, 1)
+    ideal = 2 / np.pi * (np.arccos(s) - s * np.sqrt(1 - s ** 2))
+    sel = rel < 0.85
+    # finite 32² pupil sampling broadens the autocorrelation by ~1 cell
+    assert np.max(np.abs(mtf[sel] - ideal[sel])) < 0.06, \
+        np.max(np.abs(mtf[sel] - ideal[sel]))
+    # beyond cutoff: nothing transfers
+    assert np.all(mtf[rel > 1.2] < 0.02)
+    # cutoff scale: ~962 cyc/mm at 520nm f/2
+    c = float(out["cutoff_cyc_mm"][0, 0])
+    assert 700 < c < 1200, c
+    # the geometric MTF overestimates near the diffraction limit
+    cfg_img = sim.SimulatorConfig(
+        n_sampled_fields=1, n_pupil_rings=6, pupil_sampling="circular",
+        n_ray_aiming_iter=0, wavelengths=(520.0,),
+        psf_shape=(33, 33), psf_abs_pixel_size=4e-3)
+    geo = analysis.field_mtf(specs, lens, cfg_img)
+    i = int(np.argmin(np.abs(np.asarray(geo["freqs_t"]) - 0.5 * c)))
+    j = int(np.argmin(np.abs(rel - 0.5)))
+    assert float(geo["mtf_t"][0, 0, i]) > mtf[j]
+
+
 def test_field_mtf_end_to_end():
     specs, lens = zoo.build("cooke")
     cfg = sim.SimulatorConfig(

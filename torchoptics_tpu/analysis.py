@@ -32,6 +32,7 @@ from torchoptics_tpu.ops import trace as trace_mod
 __all__ = [
     "Tolerances", "tile_population", "perturb_lens",
     "tolerance_analysis", "sensitivities", "field_mtf",
+    "diffraction_mtf", "wavefront_rms",
 ]
 
 
@@ -192,6 +193,77 @@ def tolerance_analysis(specs: Specs, lens: Lens,
         out["yield_fraction"] = jnp.mean(
             (perturbed <= rms_threshold).astype(rms.dtype))
     return out
+
+
+def diffraction_mtf(specs: Specs, lens: Lens,
+                    config: trace_mod.TraceConfig,
+                    grid_n: int = 32, pad: int = 4,
+                    key: Optional[jax.Array] = None
+                    ) -> Dict[str, jnp.ndarray]:
+    """Diffraction MTF per (field, wavelength) from the traced wavefront.
+
+    The geometric MTF (`field_mtf`) reads 1.0 for a perfect lens; the
+    physical transfer function is the pupil autocorrelation, computed here
+    as the transform of the diffraction PSF of the traced OPD
+    (`ops.wavefront`). Returns:
+
+      ``rel_freqs``     (K,) spatial frequencies in units of the cutoff
+      ``mtf_t``/``mtf_s`` (F, W, K) tangential/sagittal cuts
+      ``cutoff_cyc_mm`` (F, W) the cutoff 1/(λ·f#_working) for scaling
+
+    Not jittable end-to-end (host-side frequency axes); each piece is.
+    """
+    from torchoptics_tpu.ops import wavefront as wf
+
+    n = grid_n
+    g = (np.arange(n) + 0.5) / n * 2.0 - 1.0          # cell centers
+    X, Y = np.meshgrid(g, g, indexing="xy")
+    incircle = (X ** 2 + Y ** 2) <= 1.0
+    xr = jnp.asarray(X.ravel()[None, None, :, None], jnp.float32)
+    yr = jnp.asarray(Y.ravel()[None, None, :, None], jnp.float32)
+    out = wf.opd_map(specs, lens, config, key=key, xy=(xr, yr))
+    opd = out["opd"][0]                               # (F, P, W)
+    ok = out["ok"][0] & jnp.asarray(incircle.ravel())[None, :, None]
+    F, _, W = opd.shape
+
+    z_xp = wf.exit_pupil_distance(lens)[0]
+    r_xp = specs.epd[0] / 2.0 * wf.pupil_magnification(lens)[0]
+    R = jnp.sqrt(z_xp ** 2 + out["x_img"][0] ** 2
+                 + out["y_img"][0] ** 2)              # (F, W)
+    fnum = R / (2.0 * r_xp)
+
+    wavelengths_mm = [float(w) * 1e-6 for w in config.wavelengths]
+
+    # One jitted program per λ: the axon relay leaves EAGER complex ops
+    # unimplemented, but complex intermediates inside a real-in/real-out
+    # jit compile fine (same pattern as ops.image's rfft convolution).
+    @jax.jit
+    def _cuts(og, okg, lam):
+        psf = wf.diffraction_psf(og, okg, lam, pad=pad)["psf"]
+        lsf_t = jnp.sum(psf, axis=-1)
+        lsf_s = jnp.sum(psf, axis=-2)
+        mt = jnp.abs(jnp.fft.rfft(lsf_t, axis=-1))
+        ms = jnp.abs(jnp.fft.rfft(lsf_s, axis=-1))
+        return (mt / jnp.maximum(mt[..., :1], 1e-20),
+                ms / jnp.maximum(ms[..., :1], 1e-20))
+
+    mtf_t, mtf_s = [], []
+    for wi, lam in enumerate(wavelengths_mm):
+        og = opd[:, :, wi].reshape(F, n, n)
+        okg = ok[:, :, wi].reshape(F, n, n)
+        mt, ms = _cuts(og, okg, jnp.asarray(lam, og.dtype))
+        mtf_t.append(mt)
+        mtf_s.append(ms)
+    mtf_t = jnp.stack(mtf_t, axis=1)                  # (F, W, K)
+    mtf_s = jnp.stack(mtf_s, axis=1)
+    M = pad * n
+    K = M // 2 + 1
+    # PSF pixel is λ·f#/pad, so rfft frequency k/(M·pixel) in cutoff units
+    # 1/(λ·f#) is simply k·pad/M — static, field/λ independent.
+    rel = jnp.asarray(np.arange(K) * pad / M, jnp.float32)
+    cutoff = 1.0 / (jnp.asarray(wavelengths_mm)[None, :] * fnum)
+    return {"rel_freqs": rel, "mtf_t": mtf_t, "mtf_s": mtf_s,
+            "cutoff_cyc_mm": cutoff}
 
 
 def wavefront_rms(specs: Specs, lens: Lens,

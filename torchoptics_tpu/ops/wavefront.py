@@ -287,6 +287,10 @@ def diffraction_psf(opd_grid: jnp.ndarray, ok_grid: jnp.ndarray,
       ok_grid: (..., N, N) aperture mask (vignetting/failures).
       pad: zero-padding factor (transform size pad·N).
 
+    On the axon relay call this under ``jit`` with real outputs derived
+    from ``psf`` — eager complex ops are unimplemented on that backend
+    (complex intermediates inside a jitted program compile fine).
+
     Returns dict:
       ``psf``   (..., pad·N, pad·N) normalized so a perfect wavefront peaks
                 at 1 (i.e. the center pixel IS the Strehl ratio).
