@@ -80,8 +80,7 @@ def _stats(step, args, n_iter=10, reps=5):
     return time_step_stats(step, args, n_iter=n_iter, reps=reps)
 
 
-def _trace_workload(specs, lens, n_fields, rings, rows, on_tpu,
-                    vpu=None):
+def _trace_workload(specs, lens, n_fields, rings, rows, on_tpu):
     """Time d(spot RMS)/d(c,t) at one ray scale; returns the extras dict."""
     from torchoptics_tpu.ops import metrics as metrics_mod
     from torchoptics_tpu.ops import pallas_trace as pallas_mod
@@ -154,37 +153,57 @@ def _trace_workload(specs, lens, n_fields, rings, rows, on_tpu,
                 return (c + 1e-30 * gc, t + 1e-30 * gt, acc + v), None
             (c, t, acc), _ = jax.lax.scan(body, (c, t, 0.0), None, length=K)
             return acc
-        s_chain = _stats(jax.jit(chain), (lens.c, lens.t), n_iter=2, reps=5)
+        chain_jit = jax.jit(chain)
+        s_chain = _stats(chain_jit, (lens.c, lens.t), n_iter=2, reps=5)
         step_dev = s_chain["min"] / K
         out["pallas_fwdbwd_in_jit"] = {**s_chain, "per_step_s": step_dev}
         out["dispatch_overhead_ms"] = (s_p["min"] - step_dev) * 1e3
         out["intersections_per_sec_device"] = n_rays * n_surfaces / step_dev
+        out["_chain"] = (chain_jit, (lens.c, lens.t), K)   # for paired roofline
 
-        if vpu is not None:
-            # Roofline vs the MEASURED VPU issue ceiling of this
-            # chip/session (benchmarks/vpu_peak.py), with measured sqrt/div
-            # weights. The headline fraction assumes every fusible mul+add
-            # pair fuses into one FMA issue — the minimum issue rate
-            # consistent with the measurement, i.e. a provable LOWER bound
-            # on the fraction of the ceiling sustained (see the census
-            # comment above). The unfused reading may exceed 1; that proves
-            # fusion, not headroom.
-            w_fb = _weighted_ops(OPS_FWDBWD, vpu, fused=True)
-            w_f = _weighted_ops(OPS_FWD, vpu, fused=True)
-            w_fb_unfused = _weighted_ops(OPS_FWDBWD, vpu)
-            rate = n_rays * n_surfaces / step_dev
-            out["weighted_issues_per_intersection"] = {
-                "fwd_fused": w_f, "fwdbwd_fused": w_fb,
-                "fwdbwd_unfused": w_fb_unfused}
-            out["roofline_fraction"] = (
-                rate * w_fb / vpu["vpu_lane_ops_per_s"])
-            out["roofline_fraction_unfused_census"] = (
-                rate * w_fb_unfused / vpu["vpu_lane_ops_per_s"])
-            out["roofline_fraction_fwd_only"] = (
-                n_rays * n_surfaces / s_f["min"] * w_f
-                / vpu["vpu_lane_ops_per_s"])
     out["intersections_per_sec"] = n_rays * n_surfaces / best
     out["step_ms_best"] = best * 1e3
+    return out
+
+
+def add_roofline(out, measure_vpu, vpu_full, n_pairs=3):
+    """Fill the roofline fields from least-contended rate estimates.
+
+    The headline fraction assumes every fusible mul+add pair fuses into
+    one FMA issue — the minimum issue rate consistent with the
+    measurement, i.e. a provable LOWER bound on the fraction of the
+    ceiling sustained (see the census comment above). The unfused reading
+    may exceed 1; that proves fusion, not headroom.
+    """
+    if "_chain" not in out:
+        return out
+    chain_jit, args, K = out.pop("_chain")
+    n_int = out["rays"] * out["surfaces"]
+    # Least-contended estimates of BOTH rates: wall-clock through the
+    # relay slows by up to ~2x for minutes at a time (consistent with a
+    # time-shared chip), and interference only ever makes a measured rate
+    # LOWER — so the max observed rate is the closest to hardware truth
+    # for ceiling and kernel alike. Quick ceiling samples with nonsensical
+    # slopes (negative, or above any physical issue rate) are discarded.
+    ceilings = [vpu_full["vpu_lane_ops_per_s"]]
+    rates = [out["intersections_per_sec_device"]]
+    for _ in range(n_pairs):
+        v = measure_vpu(n_iter=2, reps=2)
+        if 0.0 < v["fma_ops_per_s"] < 5e12:
+            ceilings.append(v["fma_ops_per_s"])
+        s = _stats(chain_jit, args, n_iter=2, reps=3)
+        rates.append(n_int / (s["min"] / K))
+    ceiling = max(ceilings)
+    rate = max(rates)
+    w_fb = _weighted_ops(OPS_FWDBWD, vpu_full, fused=True)
+    w_fb_u = _weighted_ops(OPS_FWDBWD, vpu_full)
+    out["weighted_issues_per_intersection"] = {
+        "fwd_fused": _weighted_ops(OPS_FWD, vpu_full, fused=True),
+        "fwdbwd_fused": w_fb, "fwdbwd_unfused": w_fb_u}
+    out["roofline_fraction"] = rate * w_fb / ceiling
+    out["roofline_fraction_unfused_census"] = rate * w_fb_u / ceiling
+    out["roofline_ceiling_samples"] = [float(c) for c in ceilings]
+    out["roofline_kernel_rate_samples"] = [float(r) for r in rates]
     return out
 
 
@@ -200,8 +219,9 @@ def main():
     n_surfaces = int(lens.structure.n_surfaces[0])
     on_tpu = jax.default_backend() == "tpu"
 
-    # Measured VPU speed-of-light + sqrt/div cost weights for the roofline
-    # (same chip, same session as the kernel timings).
+    # Measured VPU speed-of-light + sqrt/div cost weights (full protocol,
+    # recorded in the extras); the roofline FRACTIONS use paired
+    # same-window ratios instead (see add_roofline).
     vpu = None
     if on_tpu:
         sys.path.insert(0, os.path.join(
@@ -211,8 +231,11 @@ def main():
 
     # Two ray scales: medium (16 x 96^2 x 3 = 442k) and large
     # (32 x 160^2 x 3 = 2.46M) — fixed across rounds for comparability.
-    medium = _trace_workload(specs, lens, 16, 96, 32, on_tpu, vpu=vpu)
-    large = _trace_workload(specs, lens, 32, 160, 64, on_tpu, vpu=vpu)
+    medium = _trace_workload(specs, lens, 16, 96, 32, on_tpu)
+    large = _trace_workload(specs, lens, 32, 160, 64, on_tpu)
+    if on_tpu:
+        add_roofline(medium, measure_vpu, vpu)
+        add_roofline(large, measure_vpu, vpu)
 
     # Lens-optimization step: full unsupervised objective Lu (fwd+bwd).
     sim_cfg = sim_mod.SimulatorConfig(
