@@ -6,13 +6,13 @@ peak — 197 bf16 TFLOP/s — but not a VPU figure), this measures the chip's
 own vector-unit ceiling with Pallas chain kernels that are pure VMEM-resident
 arithmetic:
 
-* ``fma`` — ``a = a*k1 + k2``: one fused multiply-add issue per element per
-  iteration. A (rows, 128) f32 tile is rows/8 independent (8, 128) vreg
-  chains, so the loop pipelines fully: this measures the sustained VECTOR
-  ISSUE rate for simple ops (1.61e12 lane-issues/s on this chip ≈ 1 vreg
-  per cycle at the v5e clock). Tile size matters: a 512-row tile measured
-  2× slower (vreg pressure/spills) — 256 rows is the sweet spot found by
-  sweep.
+* ``fma`` — ``a = a*k1 + k2``: one fused multiply-add issue per element
+  per iteration, over ``NACC`` independent accumulator streams on a
+  (ROWS, 128) f32 tile = ROWS/8 x NACC independent vreg chains, so the
+  loop pipelines fully: this measures the sustained VECTOR ISSUE rate for
+  simple ops (~1.6e12 lane-issues/s on this chip ≈ 1 vreg per cycle at
+  the v5e clock). The (ROWS, NACC) point is from an on-chip sweep — see
+  the constant's comment; bigger tiles spill vregs and read up to 2x low.
 * ``sqrt`` / ``div`` — the same chain shape around the transcendental,
   calibrating the MEASURED cost of sqrt/div relative to one simple-op issue
   (the trace kernels' op mix is ~96% simple ops + sqrt/div,
@@ -152,27 +152,6 @@ def measure_vpu(rows=ROWS, n_iter=3, reps=3):
     for op in ("sqrt", "div"):
         out[f"{op}_weight"] = max(float(per_iter[op] / per_iter["fma"]), 1.0)
     out["vpu_lane_ops_per_s"] = out["fma_ops_per_s"]
-    return out
-
-
-def best_window(a, b):
-    """Combine two `measure_vpu` sessions by best window per op class.
-
-    The relay serves slow windows lasting minutes; a ceiling is by
-    definition the fastest the hardware goes, so each op's rate takes the
-    max across sessions and the sqrt/div weights are recomputed from those
-    maxima. Both sessions' fma rates are recorded for transparency."""
-    out = dict(b)
-    for op in ("fma", "sqrt", "div"):
-        out[f"{op}_ops_per_s"] = max(a[f"{op}_ops_per_s"],
-                                     b[f"{op}_ops_per_s"])
-        out[f"{op}_ns_per_vreg_op"] = min(a[f"{op}_ns_per_vreg_op"],
-                                          b[f"{op}_ns_per_vreg_op"])
-    for op in ("sqrt", "div"):
-        out[f"{op}_weight"] = max(
-            out["fma_ops_per_s"] / out[f"{op}_ops_per_s"], 1.0)
-    out["vpu_lane_ops_per_s"] = out["fma_ops_per_s"]
-    out["fma_ops_per_s_sessions"] = [a["fma_ops_per_s"], b["fma_ops_per_s"]]
     return out
 
 
