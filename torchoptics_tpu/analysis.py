@@ -32,7 +32,7 @@ from torchoptics_tpu.ops import trace as trace_mod
 __all__ = [
     "Tolerances", "tile_population", "perturb_lens",
     "tolerance_analysis", "sensitivities", "field_mtf",
-    "diffraction_mtf", "wavefront_rms",
+    "diffraction_mtf", "wavefront_rms", "refocus",
 ]
 
 
@@ -193,6 +193,48 @@ def tolerance_analysis(specs: Specs, lens: Lens,
         out["yield_fraction"] = jnp.mean(
             (perturbed <= rms_threshold).astype(rms.dtype))
     return out
+
+
+def refocus(specs: Specs, lens: Lens, config: sim_mod.SimulatorConfig,
+            key: Optional[jax.Array] = None
+            ) -> Tuple[Lens, jnp.ndarray]:
+    """Shift each system's image distance to the least-squares best focus.
+
+    Ray intercepts move linearly with an image-plane shift δ
+    (x' = x + δ·cx/cz), so the RMS-minimizing shift has the closed form
+    δ* = −Σ ok·(x·tx + y·ty) / Σ ok·(tx² + ty²) with t = (cx, cy)/cz and
+    the per-field centroid removed — one trace, no iteration,
+    differentiable. Returns (refocused lens, δ* per system).
+
+    TPU-build superset (the reference's only focus handling is the
+    paraxial BFL solve, `lens_modeling.py:310-320`); complements
+    `optimize.LensOptimizer(add_bfl=True)` with a real-ray focus. Note the
+    objective includes BOTH transverse axes, unlike the reference-pinned
+    `compute_rms2d` (y-deviations only) — on astigmatic designs the two
+    best-focus positions differ.
+    """
+    cfg = config.trace_config()
+    res = trace_mod.trace_rays(specs, lens, cfg, key=key)
+    w = res.ray_ok.astype(lens.dtype)                 # (B, F, P, W)
+    cz = jnp.sqrt(jnp.maximum(1.0 - res.cx ** 2 - res.cy ** 2, 1e-12))
+    tx = res.cx / cz
+    ty = res.cy / cz
+    nrm = jnp.maximum(jnp.sum(w, axis=2, keepdims=True), 1.0)
+
+    def centered(a):
+        return a - jnp.sum(a * w, axis=2, keepdims=True) / nrm
+
+    x, y = centered(res.x), centered(res.y)
+    txc, tyc = centered(tx), centered(ty)
+    num = jnp.sum(w * (x * txc + y * tyc), axis=(1, 2, 3))      # (B,)
+    den = jnp.maximum(jnp.sum(w * (txc ** 2 + tyc ** 2), axis=(1, 2, 3)),
+                      1e-12)
+    delta = -num / den
+    st = lens.structure
+    rows = np.arange(len(lens))
+    last = st.n_surfaces - 1
+    t_new = lens.t.at[rows, last].add(delta)
+    return lens.replace(t=t_new), delta
 
 
 def diffraction_mtf(specs: Specs, lens: Lens,
