@@ -53,8 +53,18 @@ def compute_spot_rms_xy(x: jnp.ndarray, y: jnp.ndarray,
                         ray_ok: jnp.ndarray) -> jnp.ndarray:
     """Radial RMS spot size about the per-field centroid, (B, F).
 
-    A 2-D (x and y) variant kept alongside the reference-parity y-only
-    metric; useful as an optimization target for skew pupils.
+    The 2-D (sagittal + tangential) superset of the reference-parity y-only
+    metric: `compute_rms2d` deliberately replicates
+    `ray_tracing_lite.py:678-702`, which never sees x-deviations — a design
+    refined against it can carry arbitrary sagittal blur. This metric is the
+    optimization target selected by ``SimulatorConfig(spot_metric='xy')``
+    across every engine (XLA and all fused Pallas loss paths).
+
+    Centroid and denominator count valid rays only (masked, unlike
+    `compute_rms2d`'s all-ray convention — there failed rays are pinned to
+    the origin by construction; a masked centroid is the physically right
+    choice for a 2-D target). sqrt is gradient-safe at 0 (perfect focus /
+    all-failed fields return 0 with zero gradient, not NaN).
     """
     ok = ray_ok
     w = ok.astype(x.dtype)
@@ -62,7 +72,21 @@ def compute_spot_rms_xy(x: jnp.ndarray, y: jnp.ndarray,
     xc = jnp.sum(x * w, axis=(2, 3)) / count
     yc = jnp.sum(y * w, axis=(2, 3)) / count
     d2 = (x - xc[:, :, None, None]) ** 2 + (y - yc[:, :, None, None]) ** 2
-    return jnp.sqrt(jnp.sum(jnp.where(ok, d2, 0.0), axis=(2, 3)) / count)
+    ss = jnp.sum(jnp.where(ok, d2, 0.0), axis=(2, 3))
+    pos = ss > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / count), 0.0)
+
+
+def compute_spot_rms(x: jnp.ndarray, y: jnp.ndarray, ray_ok: jnp.ndarray,
+                     metric: str = "y") -> jnp.ndarray:
+    """Per-system mean spot RMS, (B,), under the selected metric:
+    ``'y'`` = reference-parity `compute_rms2d`; ``'xy'`` = field-mean of
+    the radial `compute_spot_rms_xy`."""
+    if metric == "y":
+        return compute_rms2d(x, y, ray_ok)
+    if metric == "xy":
+        return jnp.mean(compute_spot_rms_xy(x, y, ray_ok), axis=1)
+    raise ValueError(f"spot metric must be 'y' or 'xy', got {metric!r}")
 
 
 def compute_distortion(specs: Specs, lens: Lens, relative_fields,

@@ -1422,7 +1422,7 @@ def compute_losses_fused_asphere(specs, lens, config,
     import math as _math
     from torchoptics_tpu.ops.pallas_trace import (
         _assert_fused_config, _path_bounds, compress_padded_tail,
-        prepare_fused_inputs, rms2d_flat_wouter)
+        prepare_fused_inputs, spot_rms_flat_wouter)
     from torchoptics_tpu import simulator as sim_mod
 
     cfg = config.trace_config()
@@ -1450,7 +1450,7 @@ def compute_losses_fused_asphere(specs, lens, config,
     pth, ptp, pz, ppath, pang = outs[6:]
 
     n_rays = F * P * W
-    rms = rms2d_flat_wouter(outs[1], outs[4], F, P, W)
+    rms = spot_rms_flat_wouter(outs, F, P, W, config.spot_metric)
     n_sequence = int(lens.structure.n_surfaces[0])
     sumQ = (jnp.sum(pth) + jnp.sum(ptp) + jnp.sum(pz)) / n_sequence
     Lu = rms + config.penalty_rate * sumQ

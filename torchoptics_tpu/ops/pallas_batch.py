@@ -706,6 +706,37 @@ def rms2d_flat_wouter_batch(y_flat, ok_flat, F, P, W):
     return jnp.mean(rms_f, axis=1)
 
 
+def spot_rms_xy_flat_wouter_batch(x_flat, y_flat, ok_flat, F, P, W):
+    """``metrics.compute_spot_rms_xy`` field-mean on flat W-outer batched
+    kernel outputs (B, N); returns (B,). Masked centroid/count, safe sqrt —
+    see ``pallas_trace.spot_rms_xy_flat_wouter``."""
+    B = x_flat.shape[0]
+    x4 = x_flat.reshape(B, W, F, P)
+    y4 = y_flat.reshape(B, W, F, P)
+    ok4 = ok_flat.reshape(B, W, F, P)
+    w = ok4.astype(x4.dtype)
+    count = jnp.maximum(jnp.sum(w, axis=(1, 3)), 1.0)        # (B, F)
+    xc = jnp.sum(x4 * w, axis=(1, 3)) / count
+    yc = jnp.sum(y4 * w, axis=(1, 3)) / count
+    d2 = ((x4 - xc[:, None, :, None]) ** 2
+          + (y4 - yc[:, None, :, None]) ** 2)
+    ss = jnp.sum(jnp.where(ok4, d2, 0.0), axis=(1, 3))       # (B, F)
+    pos = ss > 0
+    rms_f = jnp.where(pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / count), 0.0)
+    return jnp.mean(rms_f, axis=1)
+
+
+def spot_rms_flat_wouter_batch(outs, F, P, W, spot_metric: str = "y"):
+    """Dispatch the per-system spot reduction on flat W-outer batched kernel
+    outputs (see ``pallas_trace.spot_rms_flat_wouter``); returns (B,)."""
+    if spot_metric == "y":
+        return rms2d_flat_wouter_batch(outs[1], outs[4], F, P, W)
+    if spot_metric == "xy":
+        return spot_rms_xy_flat_wouter_batch(outs[0], outs[1], outs[4],
+                                             F, P, W)
+    raise ValueError(f"spot metric must be 'y' or 'xy', got {spot_metric!r}")
+
+
 def trace_rays_fused_batch(specs, lens, config,
                            key: Optional[jax.Array] = None,
                            xy=None, rows=DEFAULT_ROWS,
@@ -786,7 +817,8 @@ def batched_compute_losses_fused(specs, lens, config,
     pth, ptp, pz, ppath, pang = outs[6:]
 
     n_rays_total = B * F * P * W
-    rms_b = rms2d_flat_wouter_batch(outs[1], outs[4], F, P, W)  # (B,)
+    rms_b = spot_rms_flat_wouter_batch(outs, F, P, W,
+                                       config.spot_metric)     # (B,)
     n_seq = jnp.asarray(lens.structure.n_surfaces, rms_b.dtype)
     sumQ_b = (jnp.sum(pth, axis=1) + jnp.sum(ptp, axis=1)
               + jnp.sum(pz, axis=1)) / n_seq
@@ -842,7 +874,8 @@ def batched_unsupervised_loss(specs, lens, config,
             lens_a.asph, rows, True, cfg.newton_iters,
             cfg.allow_backward_rays, _static_mask(lens.structure), F * P)
     pth, ptp, pz = outs[6:9]
-    rms = rms2d_flat_wouter_batch(outs[1], outs[4], F, P, W)  # (B,)
+    rms = spot_rms_flat_wouter_batch(outs, F, P, W,
+                                     config.spot_metric)      # (B,)
     n_seq = jnp.asarray(lens.structure.n_surfaces, dtype=rms.dtype)  # (B,)
     sumQ = (jnp.sum(pth, axis=1) + jnp.sum(ptp, axis=1)
             + jnp.sum(pz, axis=1)) / n_seq

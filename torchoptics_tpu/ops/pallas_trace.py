@@ -1014,14 +1014,46 @@ def rms2d_flat_wouter(y_flat, ok_flat, F, P, W):
     return jnp.mean(rms_f)
 
 
+def spot_rms_xy_flat_wouter(x_flat, y_flat, ok_flat, F, P, W):
+    """``metrics.compute_spot_rms_xy`` (B=1), field-mean, on flat
+    wavelength-OUTERMOST kernel outputs — same relayout-free (W, F, P)
+    reduction layout as ``rms2d_flat_wouter``. Masked centroid, masked
+    count denominator, gradient-safe sqrt (see the metrics docstring)."""
+    x3 = x_flat.reshape(W, F, P)
+    y3 = y_flat.reshape(W, F, P)
+    ok3 = ok_flat.reshape(W, F, P)
+    w = ok3.astype(x3.dtype)
+    count = jnp.maximum(jnp.sum(w, axis=(0, 2)), 1.0)       # (F,)
+    xc = jnp.sum(x3 * w, axis=(0, 2)) / count
+    yc = jnp.sum(y3 * w, axis=(0, 2)) / count
+    d2 = ((x3 - xc[None, :, None]) ** 2 + (y3 - yc[None, :, None]) ** 2)
+    ss = jnp.sum(jnp.where(ok3, d2, 0.0), axis=(0, 2))      # (F,)
+    pos = ss > 0
+    rms_f = jnp.where(pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / count), 0.0)
+    return jnp.mean(rms_f)
+
+
+def spot_rms_flat_wouter(outs, F, P, W, spot_metric: str = "y"):
+    """Dispatch the per-system spot reduction on flat W-outer kernel
+    outputs: ``'y'`` = reference-parity ``rms2d_flat_wouter``; ``'xy'`` =
+    radial ``spot_rms_xy_flat_wouter`` (x is ``outs[0]``)."""
+    if spot_metric == "y":
+        return rms2d_flat_wouter(outs[1], outs[4], F, P, W)
+    if spot_metric == "xy":
+        return spot_rms_xy_flat_wouter(outs[0], outs[1], outs[4], F, P, W)
+    raise ValueError(f"spot metric must be 'y' or 'xy', got {spot_metric!r}")
+
+
 def spot_rms_fused(specs, lens, config, key: Optional[jax.Array] = None,
                    xy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-                   rows: int = DEFAULT_ROWS, use_vig: bool = True):
+                   rows: int = DEFAULT_ROWS, use_vig: bool = True,
+                   spot_metric: str = "y"):
     """Mean RMS spot size of a single spherical system on the fused fast
     path: W-outer front-end (relayout-free) → fused kernel → flat-layout
     reduction. Numerically equal to ``compute_rms2d(trace_rays_fused(...))``
     (same math, friendlier layout); ~2× faster end-to-end because neither
-    the (F, P, W) broadcast nor the result reshape ever relayouts."""
+    the (F, P, W) broadcast nor the result reshape ever relayouts.
+    ``spot_metric='xy'`` selects the radial 2-D metric instead."""
     assert lens.is_spherical, "fused kernel is spherical; use ops.trace"
     lens = compress_padded_tail(lens)
     _assert_fused_config(lens, config)
@@ -1031,7 +1063,7 @@ def spot_rms_fused(specs, lens, config, key: Optional[jax.Array] = None,
     _, F, P, W = shape
     outs = trace_fused(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu, rows,
                        False, config.allow_backward_rays, F * P)
-    return rms2d_flat_wouter(outs[1], outs[4], F, P, W)
+    return spot_rms_flat_wouter(outs, F, P, W, spot_metric)
 
 
 def _path_bounds(structure, lower, upper):
@@ -1087,7 +1119,7 @@ def compute_losses_fused(specs, lens, config,
     pth, ptp, pz, ppath, pang = outs[6:]
 
     n_rays = shape[1] * shape[2] * shape[3]
-    rms = rms2d_flat_wouter(outs[1], outs[4], F, P, W)
+    rms = spot_rms_flat_wouter(outs, F, P, W, config.spot_metric)
     n_sequence = int(lens.structure.n_surfaces[0])
     sumQ = (jnp.sum(pth) + jnp.sum(ptp) + jnp.sum(pz)) / n_sequence
     Lu = rms + config.penalty_rate * sumQ
@@ -1129,7 +1161,7 @@ def unsupervised_loss_fused(specs, lens, config,
     outs = trace_fused(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu, rows,
                        True, cfg.allow_backward_rays, F * P)
     pth, ptp, pz = outs[6:9]
-    rms = rms2d_flat_wouter(outs[1], outs[4], F, P, W)
+    rms = spot_rms_flat_wouter(outs, F, P, W, config.spot_metric)
     n_sequence = int(lens.structure.n_surfaces[0])
     sumQ = (jnp.sum(pth) + jnp.sum(ptp) + jnp.sum(pz)) / n_sequence
     Lu = rms + config.penalty_rate * sumQ

@@ -270,19 +270,38 @@ def sharded_fused_losses(specs: Specs, lens: Lens,
         ok4 = outs[4].reshape(B_l, W, F, P_loc)
         pth, ptp, pz = outs[6:9]                     # (B_loc, N_loc) flat
 
-        # Spot RMS with cross-shard moments — exactly
-        # metrics.compute_rms2d's semantics (all-ray centroid, ok-masked
-        # deviations, all-ray denominator), with the ray-axis sums psummed;
+        # Spot RMS with cross-shard moments, psummed over the ray axis;
         # reductions run on the (B, W, F, P_loc) view of the flat W-outer
-        # kernel outputs (`pallas_batch.rms2d_flat_wouter_batch`).
-        ycent = jax.lax.psum(jnp.sum(y4, axis=3),
-                             mesh_mod.RAY_AXIS) / P_total      # (B, W, F)
-        ymean = jnp.mean(ycent, axis=1)                        # (B, F)
-        dev2 = jnp.where(ok4, (y4 - ymean[:, None, :, None]) ** 2, 0.0)
-        ss = jax.lax.psum(jnp.sum(dev2, axis=(1, 3)), mesh_mod.RAY_AXIS)
-        pos = ss > 0
-        rms_f = jnp.where(
-            pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / (P_total * W)), 0.0)
+        # kernel outputs. 'y' = metrics.compute_rms2d semantics (all-ray
+        # centroid, ok-masked deviations, all-ray denominator,
+        # `pallas_batch.rms2d_flat_wouter_batch`); 'xy' = the radial 2-D
+        # metric (masked centroid/count,
+        # `pallas_batch.spot_rms_xy_flat_wouter_batch`).
+        if config.spot_metric == "xy":
+            x4 = outs[0].reshape(B_l, W, F, P_loc)
+            wgt = ok4.astype(x4.dtype)
+            count = jnp.maximum(jax.lax.psum(jnp.sum(wgt, axis=(1, 3)),
+                                             mesh_mod.RAY_AXIS), 1.0)
+            xc = jax.lax.psum(jnp.sum(x4 * wgt, axis=(1, 3)),
+                              mesh_mod.RAY_AXIS) / count       # (B, F)
+            yc = jax.lax.psum(jnp.sum(y4 * wgt, axis=(1, 3)),
+                              mesh_mod.RAY_AXIS) / count
+            d2 = ((x4 - xc[:, None, :, None]) ** 2
+                  + (y4 - yc[:, None, :, None]) ** 2)
+            ss = jax.lax.psum(jnp.sum(jnp.where(ok4, d2, 0.0), axis=(1, 3)),
+                              mesh_mod.RAY_AXIS)               # (B, F)
+            pos = ss > 0
+            rms_f = jnp.where(
+                pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / count), 0.0)
+        else:
+            ycent = jax.lax.psum(jnp.sum(y4, axis=3),
+                                 mesh_mod.RAY_AXIS) / P_total  # (B, W, F)
+            ymean = jnp.mean(ycent, axis=1)                    # (B, F)
+            dev2 = jnp.where(ok4, (y4 - ymean[:, None, :, None]) ** 2, 0.0)
+            ss = jax.lax.psum(jnp.sum(dev2, axis=(1, 3)), mesh_mod.RAY_AXIS)
+            pos = ss > 0
+            rms_f = jnp.where(
+                pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / (P_total * W)), 0.0)
         rms_b = jnp.mean(rms_f, axis=1)                         # (B_loc,)
 
         sumQ_b = jax.lax.psum(jnp.sum(pth + ptp + pz, axis=1),

@@ -62,6 +62,12 @@ class SimulatorConfig:
     apply_relative_illumination: bool = True
     double_precision: bool = False
     trace_engine: str = "unroll"
+    # Spot-size metric used by every loss path: 'y' replicates the
+    # reference's Y-deviation-only `compute_rms2d`
+    # (`ray_tracing_lite.py:678-702`, kept as the parity default); 'xy' is
+    # the radial 2-D superset (`metrics.compute_spot_rms_xy`) that also
+    # sees sagittal blur — the metric real designs should optimize.
+    spot_metric: str = "y"
 
     def rel_fields(self) -> Tuple[float, ...]:
         """Field ladder: linspace(0, 1, n); a single field collapses to the
@@ -171,6 +177,7 @@ def compute_glass_penalty(structure: Structure, g: jnp.ndarray,
 def compute_loss_out(res: trace_mod.TraceResult, n_sequence,
                      penalty_rate: float,
                      surface_mask: Optional[jnp.ndarray] = None,
+                     spot_metric: str = "y",
                      ) -> Dict[str, jnp.ndarray]:
     """Unsupervised loss Lu = rms + rate * ΣQ with
     Q = (Σθ + Σθ' + Σrelu(z)) / n_surfaces, NaN→0
@@ -188,7 +195,8 @@ def compute_loss_out(res: trace_mod.TraceResult, n_sequence,
     failed lanes and nonzero for oblique straight-through rays, so an
     unmasked padded row would be systematically inflated).
     Requires the trace to have been run with ``aggregate`` ⊇ AGG_TORCH."""
-    rms_b = metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)  # (B,)
+    rms_b = metrics_mod.compute_spot_rms(res.x, res.y, res.ray_ok,
+                                         spot_metric)            # (B,)
     stacks = res.stacks
     n_seq = jnp.asarray(n_sequence, dtype=res.x.dtype)
     if n_seq.ndim:  # per-system counts -> broadcast over (B, F, P, W)
@@ -239,7 +247,8 @@ def _do_ray_tracing_fused(specs: Specs, lens: Lens, config: SimulatorConfig,
         res, pens = pallas_asphere.trace_rays_fused_asphere_batch(
             specs, lens_a, cfg, key=key, penalties=True)
     pth, ptp, pz = pens
-    rms_b = metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)      # (B,)
+    rms_b = metrics_mod.compute_spot_rms(res.x, res.y, res.ray_ok,
+                                         config.spot_metric)         # (B,)
     n_seq = jnp.asarray(lens.structure.n_surfaces, dtype=rms_b.dtype)
     sumQ_b = (jnp.sum(pth, axis=(1, 2, 3)) + jnp.sum(ptp, axis=(1, 2, 3))
               + jnp.sum(pz, axis=(1, 2, 3))) / n_seq
@@ -269,7 +278,8 @@ def do_ray_tracing(specs: Specs, lens: Lens, config: SimulatorConfig,
     res = trace_mod.trace_rays(specs, lens, cfg, key=key, aggregate=aggregate)
     loss_dict = compute_loss_out(res, lens.structure.n_surfaces,
                                  config.penalty_rate,
-                                 surface_mask=lens.structure.mask_jnp)
+                                 surface_mask=lens.structure.mask_jnp,
+                                 spot_metric=config.spot_metric)
     return res, loss_dict
 
 
@@ -312,9 +322,11 @@ def compute_losses(specs: Specs, lens: Lens, config: SimulatorConfig,
         aggregate=("z", "cos2", "cos2_prime") + trace_mod.AGG_TORCH)
     loss_dict = compute_loss_out(res, lens.structure.n_surfaces,
                                  config.penalty_rate,
-                                 surface_mask=lens.structure.mask_jnp)
+                                 surface_mask=lens.structure.mask_jnp,
+                                 spot_metric=config.spot_metric)
     loss_dict["spot_size"] = jnp.mean(
-        metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok))
+        metrics_mod.compute_spot_rms(res.x, res.y, res.ray_ok,
+                                     config.spot_metric))
     loss_dict["ray_path"] = compute_ray_path_penalty(
         lens, res.stacks["z"], config.ray_path_lower_thresholds,
         config.ray_path_upper_thresholds)

@@ -45,12 +45,31 @@ def _meta_path(path: str) -> str:
 
 def restore(path: str, like: Any) -> Any:
     """Restore a pytree saved with :func:`save`, using ``like`` for the tree
-    structure (checkpoint leaf order must match)."""
+    structure.
+
+    Raises ``ValueError`` (never a stripped-under-``-O`` assert) when the
+    checkpoint does not match ``like``: leaf-count mismatch, or — when the
+    ``.meta.json`` sidecar is present — a tree-path mismatch, reporting the
+    first differing path on each side."""
     npz = np.load(path if path.endswith(".npz") else path + ".npz")
     leaves = [npz[f"leaf_{i}"] for i in range(len(npz.files))]
-    _, like_leaves, treedef = _flatten_with_paths(like)
-    assert len(leaves) == len(like_leaves), (
-        f"checkpoint has {len(leaves)} leaves, expected {len(like_leaves)}")
+    like_paths, like_leaves, treedef = _flatten_with_paths(like)
+    if len(leaves) != len(like_leaves):
+        raise ValueError(
+            f"checkpoint {path!r} has {len(leaves)} leaves, but the "
+            f"template has {len(like_leaves)}; was it saved from a "
+            "different structure?")
+    meta_file = _meta_path(path)
+    if os.path.exists(meta_file):
+        with open(meta_file) as f:
+            saved_paths = json.load(f).get("paths")
+        if saved_paths is not None and list(saved_paths) != list(like_paths):
+            diffs = [(s, l) for s, l in zip(saved_paths, like_paths)
+                     if s != l]
+            raise ValueError(
+                f"checkpoint {path!r} tree structure does not match the "
+                f"template: first differing leaf path is "
+                f"{diffs[0][0]!r} (saved) vs {diffs[0][1]!r} (template)")
     import jax.numpy as jnp
     leaves = [jnp.asarray(v) for v in leaves]
     return jax.tree_util.tree_unflatten(treedef, leaves)
