@@ -174,20 +174,56 @@ def test_sharded_fused_losses_matches_single_device_fused():
                                    rtol=1e-3, atol=1e-6, err_msg=name)
 
 
-def test_sharded_fused_losses_rejects_bad_shapes():
-    specs, lens = _tiled_population("cooke", n_pop=3)
+def test_sharded_fused_losses_auto_pads_odd_shapes():
+    """VERDICT r3 #5: population size not divisible by the 'lens' axis and
+    pupil count not divisible by the 'rays' axis are PADDED (masked out of
+    every reduction), matching the unpadded single-device fused loss."""
+    from jax.experimental.pallas import tpu as pltpu
+    from torchoptics_tpu.ops import pallas_batch
+
+    # B=3 on a 2-wide lens axis AND 3 rings (9+ rays) on a 4-wide ray axis.
+    specs, lens = _tiled_population("cooke", n_pop=3, perturb=0.02)
+    config = sim.SimulatorConfig(
+        n_sampled_fields=2, n_pupil_rings=3, pupil_sampling="circular",
+        n_ray_aiming_iter=1, wavelengths=(459.0, 520.0, 640.0),
+        trace_engine="pallas")
+    mesh = mesh_mod.make_mesh(lens_parallel=2)
+
+    def loss_sh(c, t):
+        total, d = shard_mod.sharded_fused_losses(
+            specs, lens.replace(c=c, t=t), config, mesh)
+        return total, d
+
+    def loss_si(c, t):
+        return pallas_batch.batched_compute_losses_fused(
+            specs, lens.replace(c=c, t=t), config)
+
+    with pltpu.force_tpu_interpret_mode():
+        (v_sh, d_sh), g_sh = jax.value_and_grad(
+            loss_sh, argnums=(0, 1), has_aux=True)(lens.c, lens.t)
+        (v_si, d_si), g_si = jax.value_and_grad(
+            loss_si, argnums=(0, 1), has_aux=True)(lens.c, lens.t)
+    np.testing.assert_allclose(float(v_sh), float(v_si), rtol=2e-5)
+    for k in d_si:
+        np.testing.assert_allclose(float(d_sh[k]), float(d_si[k]),
+                                   rtol=2e-5, atol=1e-8, err_msg=k)
+    for gs, gi, name in zip(g_sh, g_si, ("dc", "dt")):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gi),
+                                   rtol=1e-3, atol=1e-6, err_msg=name)
+
+
+def test_sharded_fused_losses_rejects_mixed_population():
+    from torchoptics_tpu.models.structure import Lens, Specs, Structure
+    st = Structure((0, 2), ("AGA", "GAAGA"))
+    lens = Lens(st, jnp.zeros((2, 5)), jnp.ones((2, 5)),
+                jnp.full((2, 5), 1.5), jnp.full((2, 5), 50.0))
+    specs = Specs(st, jnp.ones(2), jnp.full(2, 0.3))
     config = sim.SimulatorConfig(
         n_sampled_fields=2, n_pupil_rings=4, pupil_sampling="circular",
         n_ray_aiming_iter=0, wavelengths=(520.0,), trace_engine="pallas")
     mesh = mesh_mod.make_mesh(lens_parallel=2)
-    with pytest.raises(ValueError, match="lens"):
+    with pytest.raises(NotImplementedError, match="homogeneous"):
         shard_mod.sharded_fused_losses(specs, lens, config, mesh)
-    specs4, lens4 = _tiled_population("cooke", n_pop=4)
-    cfg_odd = sim.SimulatorConfig(
-        n_sampled_fields=2, n_pupil_rings=3, pupil_sampling="circular",
-        n_ray_aiming_iter=0, wavelengths=(520.0,), trace_engine="pallas")
-    with pytest.raises(ValueError, match="rays"):
-        shard_mod.sharded_fused_losses(specs4, lens4, cfg_odd, mesh)
 
 
 @pytest.mark.slow

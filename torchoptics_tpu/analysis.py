@@ -317,8 +317,11 @@ def wavefront_rms(specs: Specs, lens: Lens,
     out per (field, λ) — the classical "best-focus wavefront error".
 
     Fully differentiable: usable directly as an optimization objective
-    (minimizing it maximizes Strehl via Maréchal). XLA engines only (needs
-    the ``"dist"`` aggregate).
+    (minimizing it maximizes Strehl via Maréchal). With
+    ``config.engine='pallas'`` (single spherical f32 system) the OPL runs
+    the fused in-kernel accumulator — no per-surface stack in HBM — at the
+    production trace rate; other configs use the XLA engines' ``"dist"``
+    aggregate.
     """
     from torchoptics_tpu.ops import pupil as pupil_mod
     from torchoptics_tpu.ops import wavefront as wf

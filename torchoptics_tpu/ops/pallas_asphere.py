@@ -1359,27 +1359,25 @@ def trace_rays_fused_asphere_batch(specs, lens, config,
 
     The population analogue of ``trace_rays_fused_asphere``; see
     ``pallas_batch.trace_rays_fused_batch`` for the result contract."""
-    from torchoptics_tpu.ops import trace as trace_mod
     from torchoptics_tpu.ops.pallas_batch import (
-        _static_mask, prepare_fused_inputs_batch)
+        _static_mask, package_fused_result_batch, prepare_fused_inputs_batch)
+    from torchoptics_tpu.ops.pallas_trace import _wouter_ok
 
     assert lens.kappa is not None and lens.asph is not None, (
         "asphere kernel expects kappa/asph; use pallas_batch for spheres")
     assert not config.double_precision, (
         "fused kernels are float32; double_precision needs ops.trace")
+    w_order = "outer" if _wouter_ok(xy) else "inner"
     xpb, ypb, cyb, z0, mu, shape = prepare_fused_inputs_batch(
-        specs, lens, config, key=key, xy=xy, use_vig=use_vig)
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig,
+        w_order=w_order)
+    B, F, P, W = shape
     outs = trace_fused_asphere_batch(
         xpb, ypb, cyb, z0, lens.c, lens.kappa, lens.t, mu, lens.asph,
         rows, penalties, config.newton_iters, config.allow_backward_rays,
-        _static_mask(lens.structure))
-    x, y, cx, cy_out, ok, bw = outs[:6]
-    result = trace_mod.TraceResult(
-        x.reshape(shape), y.reshape(shape), cx.reshape(shape),
-        cy_out.reshape(shape), ok.reshape(shape), bw.reshape(shape), None)
-    if penalties:
-        return result, tuple(p.reshape(shape) for p in outs[6:])
-    return result
+        _static_mask(lens.structure),
+        F * P if w_order == "outer" else None)
+    return package_fused_result_batch(outs, shape, penalties, w_order)
 
 
 def trace_rays_fused_asphere(specs, lens, config,
@@ -1395,21 +1393,25 @@ def trace_rays_fused_asphere(specs, lens, config,
     controls the in-kernel Newton count.
     """
     from torchoptics_tpu.ops.pallas_trace import (
-        _assert_fused_config, compress_padded_tail, package_fused_result,
-        prepare_fused_inputs)
+        _assert_fused_config, _wouter_ok, compress_padded_tail,
+        package_fused_result, prepare_fused_inputs)
 
     assert lens.kappa is not None and lens.asph is not None, (
         "asphere kernel expects kappa/asph; use pallas_trace for spheres")
     lens = compress_padded_tail(lens)
     _assert_fused_config(lens, config)
 
+    w_order = "outer" if _wouter_ok(xy) else "inner"
     xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
-        specs, lens, config, key=key, xy=xy, use_vig=use_vig)
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig,
+        w_order=w_order)
+    _, F, P, W = shape
     outs = trace_fused_asphere(
         xp, yp, cyb, z0, lens.c[0], lens.kappa[0], lens.t[0], mu,
         lens.asph[0], rows, penalties, config.newton_iters,
-        config.allow_backward_rays)
-    return package_fused_result(outs, shape, penalties)
+        config.allow_backward_rays,
+        F * P if w_order == "outer" else None)
+    return package_fused_result(outs, shape, penalties, w_order)
 
 
 def compute_losses_fused_asphere(specs, lens, config,

@@ -745,23 +745,40 @@ def trace_rays_fused_batch(specs, lens, config,
     heterogeneous padded structures supported via static per-system masks).
 
     Returns a ``TraceResult`` shaped (B, F, P, W); with ``penalties`` also
-    the per-ray penalty sums, as in ``pallas_trace.trace_rays_fused``."""
-    from torchoptics_tpu.ops import trace as trace_mod
+    the per-ray penalty sums, as in ``pallas_trace.trace_rays_fused``.
+    Traces W-outer and transposes into the packaged contract (see
+    ``pallas_trace.package_fused_result``)."""
+    from torchoptics_tpu.ops.pallas_trace import _wouter_ok
 
     assert lens.is_spherical, "batched fused kernel is spherical"
     assert not config.double_precision, (
         "fused kernels are float32; double_precision needs ops.trace")
+    w_order = "outer" if _wouter_ok(xy) else "inner"
     xpb, ypb, cyb, z0, mu, shape = prepare_fused_inputs_batch(
-        specs, lens, config, key=key, xy=xy, use_vig=use_vig)
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig,
+        w_order=w_order)
+    B, F, P, W = shape
     outs = trace_fused_batch(xpb, ypb, cyb, z0, lens.c, lens.t, mu,
                              rows, penalties, config.allow_backward_rays,
-                             _static_mask(lens.structure))
+                             _static_mask(lens.structure),
+                             F * P if w_order == "outer" else None)
+    return package_fused_result_batch(outs, shape, penalties, w_order)
+
+
+def package_fused_result_batch(outs, shape, penalties, w_order="inner"):
+    """Package flat (B, N) kernel outputs as a (B, F, P, W) TraceResult
+    (see ``pallas_trace.package_fused_result``)."""
+    from torchoptics_tpu.ops import trace as trace_mod
+    B, F, P, W = shape
+    if w_order == "outer":
+        pack = lambda a: jnp.transpose(a.reshape(B, W, F, P), (0, 2, 3, 1))
+    else:
+        pack = lambda a: a.reshape(shape)
     x, y, cx, cy_out, ok, bw = outs[:6]
     result = trace_mod.TraceResult(
-        x.reshape(shape), y.reshape(shape), cx.reshape(shape),
-        cy_out.reshape(shape), ok.reshape(shape), bw.reshape(shape), None)
+        pack(x), pack(y), pack(cx), pack(cy_out), pack(ok), pack(bw), None)
     if penalties:
-        return result, tuple(p.reshape(shape) for p in outs[6:])
+        return result, tuple(pack(p) for p in outs[6:])
     return result
 
 

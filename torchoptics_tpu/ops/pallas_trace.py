@@ -112,10 +112,13 @@ def _fwd_surface(c, t, mu, x, y, z, cx, cy, cz, ok):
                  cos2=cos2, cos2p=cos2p))
 
 
-def _bwd_surface(c, t, mu, pre, loc, d, dcos2_extra=None, dcos2p_extra=None):
+def _bwd_surface(c, t, mu, pre, loc, d, dcos2_extra=None, dcos2p_extra=None,
+                 ddist_extra=None):
     """Adjoint of ``_fwd_surface``. ``pre`` = pre-surface state,
     ``loc`` = recomputed locals, ``d`` = (dxD, dyD, dzD, dcxD, dcyD, dczD);
-    ``dcos2*_extra`` inject penalty-term cotangents on the raw cos² locals.
+    ``dcos2*_extra`` inject penalty-term cotangents on the raw cos² locals;
+    ``ddist_extra`` injects an OPL-accumulator cotangent on the marching
+    distance (the ``"opl"`` kernel mode).
 
     Returns (d_pre_state, dc_ray, dt_ray, dmu_ray) — the parameter
     cotangents are PER-RAY contributions; the caller reduces them over the
@@ -167,6 +170,8 @@ def _bwd_surface(c, t, mu, pre, loc, d, dcos2_extra=None, dcos2p_extra=None):
 
     # update_ray_coordinates adjoint
     ddist = dxA * cx + dyA * cy + dzA * cz
+    if ddist_extra is not None:
+        ddist = ddist + ddist_extra
     dx = dxA
     dy = dyA
     dz = dzA
@@ -303,11 +308,16 @@ def _hinge_grad(delta, lo, hi):
 def _fwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
                 angle_thr, n_per_w, z0_ref, c_ref, t_ref, mu_ref, *refs):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    lu = bool(penalties) and not opl_mode
     if full:
         ref_ref, xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out, ppath_out, pang_out) = outs
-    elif penalties:
+    elif opl_mode:
+        n_ref, xp_ref, yp_ref, cy_ref, *outs = refs
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out, opl_out) = outs
+    elif lu:
         xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out) = outs
@@ -329,12 +339,18 @@ def _fwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
     pen_z = jnp.zeros_like(x)
     pen_path = jnp.zeros_like(x)
     pen_ang = jnp.zeros_like(x)
+    opl = jnp.zeros_like(x)
     z_prev = None
 
     for k in range(n_surf):
         mu = _mu_of(mu_ref, k, widx, w)
         (x, y, z, cx, cy, cz, ok2), loc = _fwd_surface(
             c_ref[k], t_ref[k], mu, x, y, z, cx, cy, cz, ok)
+        if opl_mode:
+            # OPL leg k travels in the medium BEFORE surface k, n_ref[k]
+            # (the "dist" aggregate semantics, `ops.trace.trace_skew`;
+            # consumed by ops.wavefront.optical_path_lengths).
+            opl = opl + loc["dist"] * _mu_of(n_ref, k, widx, w)
         if k > 0:
             went_bw = (loc["delta_z"] < 0) & loc["ok1"]
             if allow_backward:
@@ -343,7 +359,7 @@ def _fwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
                 x, y, z, cx, cy, cz, ok2 = _kill_backward(
                     went_bw, t_ref[k], x, y, z, cx, cy, cz, ok2)
         ok = ok2
-        if penalties:
+        if lu:
             pen_th = pen_th + _theta_norm(loc["cos2"], ok)
             pen_tp = pen_tp + _theta_norm(loc["cos2p"], ok)
             pen_z = pen_z + jnp.maximum(z, 0.0)
@@ -369,6 +385,10 @@ def _fwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
     dist = delta_z / cz
     x = x + dist * cx
     y = y + dist * cy
+    if opl_mode:
+        # Final leg: last surface -> image plane, in the image-space medium
+        # n_ref[S] (air for every shipped system).
+        opl = opl + dist * _mu_of(n_ref, n_surf, widx, w)
     if allow_backward:
         bw = bw | ((delta_z < 0) & ok)
     else:
@@ -380,13 +400,15 @@ def _fwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
     cy_out[...] = cy
     ok_out[...] = ok
     bw_out[...] = bw
-    if penalties:
+    if lu:
         pth_out[...] = pen_th
         ptp_out[...] = pen_tp
         pz_out[...] = pen_z
     if full:
         ppath_out[...] = pen_path
         pang_out[...] = pen_ang
+    if opl_mode:
+        opl_out[...] = opl
 
 
 
@@ -402,6 +424,8 @@ _N_LOC_BOOL = len(_LOC_BOOL)
 def _bwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
                 angle_thr, n_per_w, z0_ref, c_ref, t_ref, mu_ref, *rest):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    lu = bool(penalties) and not opl_mode
     ref_ref = None
     if full:
         (ref_ref, xp_ref, yp_ref, cyin_ref,
@@ -411,7 +435,15 @@ def _bwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
          dref_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
          st_locf, st_locb) = rest
-    elif penalties:
+    elif opl_mode:
+        (n_ref, xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dopl_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
+         dn_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
+        dpth_ref = dptp_ref = dpz_ref = None
+    elif lu:
         (xp_ref, yp_ref, cyin_ref,
          dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
@@ -464,6 +496,11 @@ def _bwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
     dcx = dcx_ref[...] + dx_img * dist_f
     dcy = dcy_ref[...] + dy_img * dist_f
     ddist = dx_img * cx + dy_img * cy
+    dopl = None
+    if opl_mode:
+        # opl += dist_f * n_S: inject into the final-leg distance adjoint.
+        dopl = dopl_ref[...]
+        ddist = ddist + dopl * _mu_of(n_ref, n_surf, widx, w)
     dz = -ddist / cz
     dcz = ddist * (z / (cz * cz))
     dx = dx_img
@@ -482,8 +519,17 @@ def _bwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
         if full:
             for k in range(n_surf + 1):
                 dref_out[0, k] = 0.0
+        if opl_mode:
+            for k in range(n_surf + 1):
+                for wi in range(w):
+                    dn_out[0, k, wi] = 0.0
 
-    if penalties:
+    if opl_mode:
+        for wi in range(w):
+            dn_out[0, n_surf, wi] += jnp.sum(
+                jnp.where(widx == wi, dopl * dist_f, 0.0))
+
+    if lu:
         dpth = dpth_ref[...]
         dptp = dptp_ref[...]
         dpz = dpz_ref[...]
@@ -517,8 +563,15 @@ def _bwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
         if not allow_backward and k > 0:
             # delta_z = dist * cz_pre (matches _fwd_surface)
             kill = (loc["dist"] * st_cz[k] < 0) & loc["ok1"]
-        dcos2_extra = dcos2p_extra = None
-        if penalties:
+        dcos2_extra = dcos2p_extra = ddist_extra = None
+        if opl_mode:
+            # opl += dist_k * n_k (pre-kill accumulation in the forward, so
+            # no kill masking here — matching _fwd_kernel's order).
+            ddist_extra = dopl * _mu_of(n_ref, k, widx, w)
+            for wi in range(w):
+                dn_out[0, k, wi] += jnp.sum(
+                    jnp.where(widx == wi, dopl * loc["dist"], 0.0))
+        if lu:
             ok_end = loc["ok1"] & ~loc["fail2"]
             if kill is not None:
                 ok_end = ok_end & ~kill
@@ -557,7 +610,7 @@ def _bwd_kernel(n_surf, w, rows, penalties, allow_backward, path_bounds,
             dcz = jnp.where(kill, 0.0, dcz)
         (dx, dy, dz, dcx, dcy, dcz), dc_ray, dt_ray, dmu_ray = _bwd_surface(
             c_ref[k], t_ref[k], mu, pre, loc, (dx, dy, dz, dcx, dcy, dcz),
-            dcos2_extra, dcos2p_extra)
+            dcos2_extra, dcos2p_extra, ddist_extra)
         dt_k = jnp.sum(dt_ray)
         if dt_kill is not None:
             dt_k = dt_k + dt_kill
@@ -623,9 +676,29 @@ def trace_fused_full(xp, yp, cy, z0, c, t, mu, ref_z, rows=DEFAULT_ROWS,
                     ref_z, path_bounds, angle_thr, n_per_w)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def trace_fused_opl(xp, yp, cy, z0, c, t, mu, n_legs, rows=DEFAULT_ROWS,
+                    allow_backward=True, n_per_w=None):
+    """``trace_fused`` with an in-kernel optical-path-length accumulator:
+    per ray, OPL = Σ_k n_legs[k]·dist_k over the surface legs plus the
+    final image leg in n_legs[S] — the fused form of the XLA engine's
+    ``aggregate=("dist",)`` contraction that ``ops.wavefront`` consumes
+    (reference aggregate semantics: `ray_tracing.py:637-646`), without
+    ever materializing the (S+1, N) stack in HBM.
+
+    ``n_legs`` is the differentiable (S+1, W) per-leg refractive-index
+    table (air row first). Returns the 6 trace outputs plus ``opl`` (N,).
+    The launch plane-wave phase (y_p·sin u) is NOT included — add it
+    host-side (it needs the pre-trace pupil coordinates)."""
+    return _run_fwd(xp, yp, cy, z0, c, t, mu, rows, "opl", allow_backward,
+                    n_per_w=n_per_w, n_legs=n_legs)
+
+
 def _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
-             ref_z=None, path_bounds=None, angle_thr=None, n_per_w=None):
+             ref_z=None, path_bounds=None, angle_thr=None, n_per_w=None,
+             n_legs=None):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
     n = xp.shape[0]
     n_surf = c.shape[0]
     w = mu.shape[1]
@@ -640,7 +713,8 @@ def _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    n_f32 = 4 + (3 if penalties else 0) + (2 if full else 0)
+    n_f32 = (4 + (1 if opl_mode else 0)
+             + (3 if penalties and not opl_mode else 0) + (2 if full else 0))
     out_shapes = (
         [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 4
         + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.bool_)] * 2
@@ -649,6 +723,8 @@ def _run_fwd(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
     ref_in = []
     if full:
         ref_in = [jnp.reshape(ref_z, (1, -1)).astype(jnp.float32)]
+    elif opl_mode:
+        ref_in = [n_legs.astype(jnp.float32)]       # (S+1, W) SMEM table
 
     outs = pl.pallas_call(
         partial(_fwd_kernel, n_surf, w, rows, penalties, allow_backward,
@@ -682,10 +758,16 @@ def _fused_full_fwd(xp, yp, cy, z0, c, t, mu, ref_z, rows, allow_backward,
 def _run_bwd(residuals, cotangents, rows, penalties, allow_backward,
              path_bounds=None, angle_thr=None, n_per_w=None):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    n_legs = dopl = None
     if full:
         xp, yp, cy, z0, c, t, mu, ref_z = residuals
         (dx, dy, dcx, dcy, _dok, _dbw,
          dpth, dptp, dpz, dppath, dpang) = cotangents
+    elif opl_mode:
+        xp, yp, cy, z0, c, t, mu, n_legs = residuals
+        dx, dy, dcx, dcy, _dok, _dbw, dopl = cotangents
+        ref_z = dpth = dptp = dpz = dppath = dpang = None
     elif penalties:
         xp, yp, cy, z0, c, t, mu = residuals
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
@@ -705,7 +787,9 @@ def _run_bwd(residuals, cotangents, rows, penalties, allow_backward,
     dx2, dy2 = as2d(dx), as2d(dy)
     dcx2, dcy2 = as2d(dcx), as2d(dcy)
     pen_in = []
-    if penalties:
+    if opl_mode:
+        pen_in = [as2d(dopl)]
+    elif penalties:
         pen_in = [as2d(dpth), as2d(dptp), as2d(dpz)]
     if full:
         pen_in += [as2d(dppath), as2d(dpang)]
@@ -745,6 +829,11 @@ def _run_bwd(residuals, cotangents, rows, penalties, allow_backward,
             jax.ShapeDtypeStruct((1, n_surf + 1), jnp.float32))  # dref_z
         out_specs.append(scalar_tile((n_surf + 1,)))
         ref_in = [jnp.reshape(ref_z, (1, -1)).astype(jnp.float32)]
+    elif opl_mode:
+        out_shape.append(
+            jax.ShapeDtypeStruct((1, n_surf + 1, w), jnp.float32))  # dn_legs
+        out_specs.append(scalar_tile((n_surf + 1, w)))
+        ref_in = [n_legs.astype(jnp.float32)]
 
     scratch = [pltpu.VMEM((n_surf, rows, LANES), jnp.float32)
                for _ in range(6)]
@@ -765,7 +854,7 @@ def _run_bwd(residuals, cotangents, rows, penalties, allow_backward,
       c.astype(jnp.float32), t.astype(jnp.float32), mu.astype(jnp.float32),
       *ref_in, xp2, yp2, cy2, dx2, dy2, dcx2, dcy2, *pen_in)
 
-    if full:
+    if full or opl_mode:
         dxp2, dyp2, dcy2_out, dz0_p, dc_p, dt_p, dmu_p, dref_p = outs
     else:
         dxp2, dyp2, dcy2_out, dz0_p, dc_p, dt_p, dmu_p = outs
@@ -778,6 +867,8 @@ def _run_bwd(residuals, cotangents, rows, penalties, allow_backward,
     grads = (dxp, dyp, dcy_out, dz0, dc_p[0], dt_p[0], dmu_p[0])
     if full:
         grads = grads + (dref_p[0].reshape(jnp.shape(ref_z)),)
+    elif opl_mode:
+        grads = grads + (dref_p[0].reshape(jnp.shape(n_legs)),)
     return grads
 
 
@@ -793,8 +884,21 @@ def _fused_full_bwd(rows, allow_backward, path_bounds, angle_thr, n_per_w,
                     path_bounds, angle_thr, n_per_w)
 
 
+def _fused_opl_fwd(xp, yp, cy, z0, c, t, mu, n_legs, rows, allow_backward,
+                   n_per_w):
+    out = _run_fwd(xp, yp, cy, z0, c, t, mu, rows, "opl", allow_backward,
+                   n_per_w=n_per_w, n_legs=n_legs)
+    return out, (xp, yp, cy, z0, c, t, mu, n_legs)
+
+
+def _fused_opl_bwd(rows, allow_backward, n_per_w, residuals, cotangents):
+    return _run_bwd(residuals, cotangents, rows, "opl", allow_backward,
+                    n_per_w=n_per_w)
+
+
 trace_fused.defvjp(_fused_fwd, _fused_bwd)
 trace_fused_full.defvjp(_fused_full_fwd, _fused_full_bwd)
+trace_fused_opl.defvjp(_fused_opl_fwd, _fused_opl_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -957,16 +1061,37 @@ def prepare_fused_inputs(specs, lens, config, key=None, xy=None,
             (1, F, P, W))
 
 
-def package_fused_result(outs, shape, penalties):
-    """Reshape flat kernel outputs back to the (1, F, P, W) TraceResult."""
+def package_fused_result(outs, shape, penalties, w_order="inner"):
+    """Package flat kernel outputs as the (1, F, P, W) TraceResult.
+
+    ``w_order="inner"``: plain reshape of W-inner flat outputs.
+    ``w_order="outer"``: the flat outputs are (W, F, P)-ordered; emit the
+    packaged block via an output-side transpose. Measured 2.4× faster
+    end-to-end at 2.46M rays than tracing in the W-inner layout
+    (`benchmarks/probe_packaging.py`): the input-side broadcast relayout
+    the W-inner front-end pays dwarfs this one output transpose."""
     from torchoptics_tpu.ops import trace as trace_mod
+    _, F, P, W = shape
+    if w_order == "outer":
+        pack = lambda a: jnp.transpose(a.reshape(W, F, P), (1, 2, 0))[None]
+    else:
+        pack = lambda a: a.reshape(shape)
     x, y, cx, cy_out, ok, bw = outs[:6]
     result = trace_mod.TraceResult(
-        x.reshape(shape), y.reshape(shape), cx.reshape(shape),
-        cy_out.reshape(shape), ok.reshape(shape), bw.reshape(shape), None)
+        pack(x), pack(y), pack(cx), pack(cy_out), pack(ok), pack(bw), None)
     if penalties:
-        return result, tuple(p.reshape(shape) for p in outs[6:])
+        return result, tuple(pack(p) for p in outs[6:])
     return result
+
+
+def _wouter_ok(xy) -> bool:
+    """The W-outer front-end needs plain (·, 1, P, 1) pupil samples (its
+    affine probes factor the per-(field, λ) chain); default sampling always
+    satisfies this — explicit ``xy`` must match to take the fast layout."""
+    if xy is None:
+        return True
+    xp = xy[0]
+    return xp.ndim == 4 and xp.shape[1] == 1 and xp.shape[3] == 1
 
 
 def trace_rays_fused(specs, lens, config, key: Optional[jax.Array] = None,
@@ -982,15 +1107,24 @@ def trace_rays_fused(specs, lens, config, key: Optional[jax.Array] = None,
     Returns a ``TraceResult`` shaped (1, F, P, W) like the jnp engine; with
     ``penalties`` it returns ``(TraceResult, (pen_theta, pen_theta_p,
     pen_zrelu))`` where each penalty is the per-ray sum over surfaces.
+
+    Internally traces in the relayout-free W-outer layout and transposes
+    the outputs into the packaged (F, P, W) contract
+    (`ray_tracing_lite.py:80-127`) — 2.4× the end-to-end rate of tracing
+    W-inner at 2.46M rays (`benchmarks/probe_packaging.py`).
     """
     assert lens.is_spherical, "fused kernel is spherical; use ops.trace"
     lens = compress_padded_tail(lens)
     _assert_fused_config(lens, config)
+    w_order = "outer" if _wouter_ok(xy) else "inner"
     xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
-        specs, lens, config, key=key, xy=xy, use_vig=use_vig)
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig,
+        w_order=w_order)
+    _, F, P, W = shape
     outs = trace_fused(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu, rows,
-                       penalties, config.allow_backward_rays)
-    return package_fused_result(outs, shape, penalties)
+                       penalties, config.allow_backward_rays,
+                       F * P if w_order == "outer" else None)
+    return package_fused_result(outs, shape, penalties, w_order)
 
 
 def rms2d_flat_wouter(y_flat, ok_flat, F, P, W):
@@ -1064,6 +1198,40 @@ def spot_rms_fused(specs, lens, config, key: Optional[jax.Array] = None,
     outs = trace_fused(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu, rows,
                        False, config.allow_backward_rays, F * P)
     return spot_rms_flat_wouter(outs, F, P, W, spot_metric)
+
+
+def optical_paths_fused(specs, lens, config, key: Optional[jax.Array] = None,
+                        xy: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+                        rows: int = DEFAULT_ROWS, use_vig: bool = True):
+    """``ops.wavefront.optical_path_lengths`` on the fused kernel (B == 1,
+    spherical, f32): returns (TraceResult, OPL) with OPL (1, F, P, W) in mm,
+    launch plane-wave phase included — same contract as the XLA path, but
+    the per-surface distance stack never touches HBM (the OPL accumulates
+    in-kernel with a hand-derived adjoint; fully differentiable through
+    c, t, and the dispersion model)."""
+    assert lens.is_spherical, "fused OPL kernel is spherical; use ops.trace"
+    lens = compress_padded_tail(lens)
+    _assert_fused_config(lens, config)
+    n = lens.get_refractive_indices(config.wavelengths)      # (1, S, W)
+    n_legs = jnp.concatenate((jnp.ones_like(n[:, :1, :]), n),
+                             axis=1)[0]                      # (S+1, W)
+    w_order = "outer" if _wouter_ok(xy) else "inner"
+    xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig,
+        w_order=w_order)
+    _, F, P, W = shape
+    outs = trace_fused_opl(xp, yp, cyb, z0, lens.c[0], lens.t[0], mu,
+                           n_legs, rows, config.allow_backward_rays,
+                           F * P if w_order == "outer" else None)
+    res = package_fused_result(outs[:6], shape, False, w_order)
+    # Plane-wave launch phase y_p·sin(u): yp is the absolute launch height,
+    # cyb is sin(u) per ray (see ops.wavefront.optical_path_lengths).
+    opl_flat = outs[6] + yp * cyb
+    if w_order == "outer":
+        opl = jnp.transpose(opl_flat.reshape(W, F, P), (1, 2, 0))[None]
+    else:
+        opl = opl_flat.reshape(shape)
+    return res, opl
 
 
 def _path_bounds(structure, lower, upper):

@@ -19,7 +19,8 @@ import numpy as np
 def compute_psf(x: jnp.ndarray, y: jnp.ndarray,
                 n_bins: Tuple[int, int] = (21, 21),
                 increment: Optional[float] = None,
-                y_target: Optional[jnp.ndarray] = None):
+                y_target: Optional[jnp.ndarray] = None,
+                weights: Optional[jnp.ndarray] = None):
     """Soft-histogram PSF per (system, field) grid.
 
     Args:
@@ -28,6 +29,10 @@ def compute_psf(x: jnp.ndarray, y: jnp.ndarray,
       n_bins: (n_x_bins, n_y_bins) PSF grid size.
       increment: pixel pitch; None sizes the grid from the data extents.
       y_target: (n_lens * n_fields,) grid centers; None uses the y centroid.
+      weights: optional per-ray splat weights, broadcastable to
+        (n_lens * n_fields, n_channels, n_rays) — used to assign arbitrary
+        wavelength sets to color channels (zero weight = ray invisible to
+        that channel); the accounted fraction is weighted accordingly.
 
     Returns:
       (x_size, y_size, y_target, kernels, accounted_ray_proportion) with
@@ -74,6 +79,10 @@ def compute_psf(x: jnp.ndarray, y: jnp.ndarray,
            - gy.reshape(n_grids, 1, -1, 1, 1)) ** 2
     gaussian = (jnp.exp(-(dx2 / sigma_x.reshape(-1, 1, 1, 1, 1) ** 2) / 2)
                 * jnp.exp(-(dy2 / sigma_y.reshape(-1, 1, 1, 1, 1) ** 2) / 2))
+    if weights is not None:
+        weights = jnp.broadcast_to(jnp.asarray(weights, x.dtype),
+                                   x.shape)                # (g, nw, n_rays)
+        gaussian = gaussian * weights[:, :, None, None, :]
     kernels = jnp.sum(gaussian, axis=-1)  # (n_grids, nw, n_y, n_x_half)
 
     if n_x_bins % 2 == 1:
@@ -83,12 +92,20 @@ def compute_psf(x: jnp.ndarray, y: jnp.ndarray,
         kernels = jnp.concatenate(
             (jnp.flip(kernels, axis=-1), kernels), axis=-1)
 
-    kernels = kernels / jnp.sum(kernels, axis=(-1, -2), keepdims=True)
+    # max() guards channels with no assigned wavelengths (W < n_channels);
+    # a real channel's Gaussian sum is strictly positive, so this is exact.
+    kernels = kernels / jnp.maximum(
+        jnp.sum(kernels, axis=(-1, -2), keepdims=True), 1e-20)
 
     accounted = ((jnp.abs(y) < y_size[:, None, None] / 2)
                  & (jnp.abs(x) < x_size[:, None, None] / 2))
-    accounted_ray_proportion = jnp.mean(accounted.astype(x.dtype),
-                                        axis=(-1, -2))
+    if weights is None:
+        accounted_ray_proportion = jnp.mean(accounted.astype(x.dtype),
+                                            axis=(-1, -2))
+    else:
+        wsum = jnp.maximum(jnp.sum(weights, axis=(-1, -2)), 1e-20)
+        accounted_ray_proportion = jnp.sum(
+            accounted.astype(x.dtype) * weights, axis=(-1, -2)) / wsum
 
     return x_size, y_size, y_target, kernels, accounted_ray_proportion
 
@@ -128,31 +145,63 @@ def compute_mtf(psf: jnp.ndarray, pixel_size: float):
     }
 
 
+def channel_assignment(n_wavelengths: int, n_channels: int = 3):
+    """Static wavelength -> color-channel map: consecutive groups, sized as
+    evenly as possible (``channel_of[i] = i * C // W``). For W a multiple
+    of C this reproduces the reference's ``reshape(C, W//C)`` grouping
+    (`optics_simulator_lite.py:660-663`)."""
+    return [i * n_channels // n_wavelengths for i in range(n_wavelengths)]
+
+
 def sample_psfs(x: jnp.ndarray, y: jnp.ndarray, y_center: jnp.ndarray,
-                psf_size: Tuple[int, int], psf_increment: float):
+                psf_size: Tuple[int, int], psf_increment: float,
+                n_channels: int = 3):
     """Sample per-field PSFs from trace outputs
     (reference `optics_simulator_lite.py:656-677`, dormant there).
 
     Args:
       x, y: (1, n_fields, n_pupil, n_wavelengths) spot coordinates.
       y_center: (n_fields,) PSF grid centers on the image plane.
+      n_channels: color channels of the rendered image (default RGB).
+        Any wavelength count works: wavelengths are grouped into channels
+        by :func:`channel_assignment` (the reference's reshape only
+        handled W a multiple of 3).
 
     Returns:
-      (psfs, accounted_energy): psfs (n_fields, n_y, n_x, 3) RGB-stacked and
-      vertically flipped to image orientation.
+      (psfs, accounted_energy): psfs (n_fields, n_y, n_x, n_channels)
+      stacked and vertically flipped to image orientation.
     """
+    W = x.shape[-1]
     # Combine wavelengths-per-channel into the ray dimension.
     x = jnp.transpose(x, (0, 1, 3, 2))  # (1, F, W, P)
     y = jnp.transpose(y, (0, 1, 3, 2))
-    x = x.reshape(*x.shape[:2], 3, -1)
-    y = y.reshape(*y.shape[:2], 3, -1)
+    weights = None
+    if W % n_channels == 0:
+        # Even grouping: exact reshape, no redundant splats.
+        x = x.reshape(*x.shape[:2], n_channels, -1)
+        y = y.reshape(*y.shape[:2], n_channels, -1)
+    else:
+        # Uneven W: every ray is splatted into every channel with a static
+        # one-hot weight selecting its assigned channel.
+        ch = np.asarray(channel_assignment(W, n_channels))
+        onehot = (ch[None, :] == np.arange(n_channels)[:, None])
+        P = x.shape[-1]
+        weights = jnp.asarray(
+            np.repeat(onehot, P, axis=1)[None], x.dtype)  # (1, C, W*P)
+        x = jnp.broadcast_to(x.reshape(*x.shape[:2], 1, -1),
+                             x.shape[:2] + (n_channels, W * P))
+        y = jnp.broadcast_to(y.reshape(*y.shape[:2], 1, -1),
+                             y.shape[:2] + (n_channels, W * P))
 
     # Mirror every ray in x (meridional symmetry).
     x = jnp.concatenate((x, -x), axis=3)
     y = jnp.concatenate((y, y), axis=3)
+    if weights is not None:
+        weights = jnp.concatenate((weights, weights), axis=2)
 
     *_, y_centroid, psfs, accounted = compute_psf(
-        x, y, n_bins=psf_size, increment=psf_increment, y_target=y_center)
-    psfs = jnp.transpose(psfs, (0, 2, 3, 1))   # (F, n_y, n_x, 3)
+        x, y, n_bins=psf_size, increment=psf_increment, y_target=y_center,
+        weights=weights)
+    psfs = jnp.transpose(psfs, (0, 2, 3, 1))   # (F, n_y, n_x, C)
     psfs = jnp.flip(psfs, axis=1)
     return psfs, accounted

@@ -56,9 +56,15 @@ def optical_path_lengths(specs: Specs, lens: Lens,
     origin (see module docstring)."""
     cfg = config
     if cfg.engine == "pallas":
+        if (len(lens) == 1 and lens.is_spherical
+                and not cfg.double_precision):
+            from torchoptics_tpu.ops import pallas_trace
+            return pallas_trace.optical_paths_fused(specs, lens, cfg,
+                                                    key=key, xy=xy)
         raise NotImplementedError(
-            "optical_path_lengths needs per-surface aggregate stacks; "
-            "use engine='unroll' or 'scan'")
+            "engine='pallas' OPL covers single spherical f32 systems "
+            "(the fused in-kernel accumulator); use engine='unroll' or "
+            "'scan' for aspheres, batches, or double precision")
     if cfg.double_precision:
         # Cast HERE so the launch-point re-derivation below and the index
         # table see the same f64 values the trace computes with.

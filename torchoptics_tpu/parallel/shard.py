@@ -144,12 +144,15 @@ def sharded_fused_losses(specs: Specs, lens: Lens,
     explicit collectives). Reference scope: the reference has no multi-device
     path at all (`optical_loss.py:105-111` is a serial per-sample loop).
 
-    Requirements (all loud): homogeneous population (one ``sequence``),
-    float32, population size divisible by the mesh's ``lens`` axis, pupil
-    count divisible by the ``rays`` axis.
+    Requirements (loud): homogeneous population (one ``sequence`` and
+    ``stop_idx``), float32. Population and pupil sizes NOT divisible by the
+    mesh axes are padded automatically — padded systems/rays are masked out
+    of every reduction, so results are identical to the unpadded
+    single-device loss (``tests/test_sharding.py``).
 
     Returns (total, loss_dict) with replicated scalars.
     """
+    from torchoptics_tpu.models.structure import Structure
     from torchoptics_tpu.ops import pallas_batch
     from torchoptics_tpu.ops import pupil as pupil_mod
     from torchoptics_tpu.ops.pallas_trace import _path_bounds
@@ -159,32 +162,52 @@ def sharded_fused_losses(specs: Specs, lens: Lens,
         raise NotImplementedError(
             "sharded_fused_losses is float32 (fused kernels); use the XLA "
             "engines for double_precision")
-    if len(set(lens.structure.sequence)) != 1:
+    if (len(set(lens.structure.sequence)) != 1
+            or len(set(lens.structure.stop_idx)) != 1):
         raise NotImplementedError(
             "sharded_fused_losses expects a homogeneous population (one "
-            "lens type per launch); group mixed populations by sequence "
-            "as simulator._compute_losses_fused_grouped does")
+            "lens type/stop per launch); group mixed populations by "
+            "sequence as simulator._compute_losses_fused_grouped does")
     B = len(lens)
     n_lens_dev = mesh.shape[mesh_mod.LENS_AXIS]
     n_ray_dev = mesh.shape[mesh_mod.RAY_AXIS]
-    if B % n_lens_dev:
-        raise ValueError(
-            f"population size {B} not divisible by the mesh 'lens' axis "
-            f"({n_lens_dev}); pad the population or reshape the mesh")
+
+    # Pad the population to a 'lens'-axis multiple with clones of system 0
+    # (they trace fine and carry zero weight in every reduction below).
+    B_pad = mesh_mod.pad_to_multiple(B, n_lens_dev)
+    if B_pad != B:
+        reps = B_pad - B
+        pad_sys = lambda a: (None if a is None else
+                             jnp.concatenate(
+                                 [a] + [a[:1]] * reps, axis=0))
+        st_pad = Structure(lens.structure.stop_idx[:1] * B_pad,
+                           lens.structure.sequence[:1] * B_pad)
+        lens = type(lens)(st_pad, pad_sys(lens.c), pad_sys(lens.t),
+                          pad_sys(lens.nd), pad_sys(lens.v),
+                          kappa=pad_sys(lens.kappa),
+                          asph=pad_sys(lens.asph))
+        specs = type(specs)(st_pad, pad_sys(specs.epd), pad_sys(specs.hfov),
+                            pad_sys(specs.vig_up), pad_sys(specs.vig_down),
+                            pad_sys(specs.vig_x))
 
     # Global pupil sample (identical to the single-device trace), sharded
     # over 'rays'. Vignetting/aiming/EPD scaling happen per shard inside the
     # body — they are elementwise in the pupil coordinates (the aiming
     # correction is a per-field linear map built from tee rays, identically
     # recomputed on every ray shard).
-    xp_rel, yp_rel = pupil_mod.sample_pupil(cfg.mode, cfg.n_rays, B, key=key)
+    xp_rel, yp_rel = pupil_mod.sample_pupil(cfg.mode, cfg.n_rays, B_pad,
+                                            key=key)
     P_total = xp_rel.shape[2]
-    if P_total % n_ray_dev:
-        raise ValueError(
-            f"pupil sample count {P_total} not divisible by the mesh 'rays' "
-            f"axis ({n_ray_dev}); adjust n_pupil_rings or the mesh shape")
-    xp_rel = jnp.broadcast_to(xp_rel, (B, 1, P_total, 1))
-    yp_rel = jnp.broadcast_to(yp_rel, (B, 1, P_total, 1))
+    # Pad the pupil axis to a 'rays'-axis multiple with chief-ray clones at
+    # the pupil center; they trace fine and are masked out of reductions.
+    P_pad = mesh_mod.pad_to_multiple(P_total, n_ray_dev)
+    if P_pad != P_total:
+        padw = [(0, 0)] * xp_rel.ndim
+        padw[2] = (0, P_pad - P_total)
+        xp_rel = jnp.pad(xp_rel, padw)
+        yp_rel = jnp.pad(yp_rel, padw)
+    xp_rel = jnp.broadcast_to(xp_rel, (B_pad, 1, P_pad, 1))
+    yp_rel = jnp.broadcast_to(yp_rel, (B_pad, 1, P_pad, 1))
 
     spherical = lens.is_spherical
     if not spherical:
@@ -193,7 +216,7 @@ def sharded_fused_losses(specs: Specs, lens: Lens,
         if lens.asph is None:
             lens = lens.replace(asph=jnp.zeros(lens.c.shape + (1,)))
 
-    B_loc = B // n_lens_dev
+    B_loc = B_pad // n_lens_dev
     st_loc = lens.structure[0:B_loc]
     mask = pallas_batch._static_mask(st_loc)
     bounds = (_path_bounds(st_loc, config.ray_path_lower_thresholds,
@@ -270,6 +293,19 @@ def sharded_fused_losses(specs: Specs, lens: Lens,
         ok4 = outs[4].reshape(B_l, W, F, P_loc)
         pth, ptp, pz = outs[6:9]                     # (B_loc, N_loc) flat
 
+        # Validity of padded systems/rays (global index < real count);
+        # padded entries carry zero weight in every reduction, making the
+        # padded launch numerically identical to the unpadded loss.
+        li = jax.lax.axis_index(mesh_mod.LENS_AXIS)
+        ri = jax.lax.axis_index(mesh_mod.RAY_AXIS)
+        sys_ok = (li * B_l + jnp.arange(B_l)) < B              # (B_loc,)
+        sysw = sys_ok.astype(y4.dtype)
+        ray_ok_pad = (ri * P_loc + jnp.arange(P_loc)) < P_total  # (P_loc,)
+        rayw4 = ray_ok_pad[None, None, None, :]
+        ok4 = ok4 & rayw4
+        raywN = jnp.broadcast_to(rayw4, (B_l, W, F, P_loc)
+                                 ).reshape(B_l, -1).astype(y4.dtype)
+
         # Spot RMS with cross-shard moments, psummed over the ray axis;
         # reductions run on the (B, W, F, P_loc) view of the flat W-outer
         # kernel outputs. 'y' = metrics.compute_rms2d semantics (all-ray
@@ -294,7 +330,7 @@ def sharded_fused_losses(specs: Specs, lens: Lens,
             rms_f = jnp.where(
                 pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / count), 0.0)
         else:
-            ycent = jax.lax.psum(jnp.sum(y4, axis=3),
+            ycent = jax.lax.psum(jnp.sum(y4 * rayw4, axis=3),
                                  mesh_mod.RAY_AXIS) / P_total  # (B, W, F)
             ymean = jnp.mean(ycent, axis=1)                    # (B, F)
             dev2 = jnp.where(ok4, (y4 - ymean[:, None, :, None]) ** 2, 0.0)
@@ -304,17 +340,19 @@ def sharded_fused_losses(specs: Specs, lens: Lens,
                 pos, jnp.sqrt(jnp.where(pos, ss, 1.0) / (P_total * W)), 0.0)
         rms_b = jnp.mean(rms_f, axis=1)                         # (B_loc,)
 
-        sumQ_b = jax.lax.psum(jnp.sum(pth + ptp + pz, axis=1),
+        sumQ_b = jax.lax.psum(jnp.sum((pth + ptp + pz) * raywN, axis=1),
                               mesh_mod.RAY_AXIS) / n_seq        # (B_loc,)
         Lu_b = rms_b + config.penalty_rate * sumQ_b
 
-        mean_lens = lambda v: jax.lax.psum(jnp.sum(v), mesh_mod.LENS_AXIS) / B
+        mean_lens = lambda v: jax.lax.psum(jnp.sum(v * sysw),
+                                           mesh_mod.LENS_AXIS) / B
         out = {"loss_unsup": mean_lens(Lu_b), "rms": mean_lens(rms_b),
                "penalty": mean_lens(sumQ_b)}
         if full:
             ppath, pang = outs[9:11]                 # (B_loc, N_loc) flat
             psum_all = lambda v: jax.lax.psum(
-                jax.lax.psum(jnp.sum(v), mesh_mod.RAY_AXIS),
+                jnp.sum(jax.lax.psum(jnp.sum(v * raywN, axis=1),
+                                     mesh_mod.RAY_AXIS) * sysw),
                 mesh_mod.LENS_AXIS)
             out["spot_size"] = out["rms"]
             out["ray_path"] = psum_all(ppath) / n_rays_total
