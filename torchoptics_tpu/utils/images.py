@@ -1,23 +1,30 @@
 """Test-image assets for the imaging pipeline.
 
 The reference ships a natural photograph (`data/sample_image.png`) as the
-input of its (dormant) aberration-simulation path. This build provides two
-sources:
+input of its (dormant) aberration-simulation path. This build ships its own
+equivalent asset — `torchoptics_tpu/data/sample_image.png`, a public-domain
+photograph (the Grace Hopper portrait) — so the demo pipeline is
+reproducible with zero external dependencies. Three sources, in preference
+order:
 
-* :func:`load_real_test_image` — a real photograph: the public-domain Grace
-  Hopper portrait shipped inside matplotlib's sample data (no network, no
-  binary asset in this repo).
+* the shipped repo asset (no dependency at all);
+* :func:`load_real_test_image` via matplotlib's bundled sample data
+  (fallback if the asset is deleted);
 * :func:`synthetic_test_image` — a procedural resolution chart (radial
-  spokes + edges + color patches) for deterministic tests.
+  spokes + edges + color patches), always available.
 
-Both return (H, W, 3) float32 in [0, 255].
+All return (H, W, 3) float32 in [0, 255].
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
+
+_ASSET = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "sample_image.png")
 
 
 def synthetic_test_image(h: int = 128, w: int = 128) -> np.ndarray:
@@ -74,14 +81,28 @@ def load_real_test_image(size: Optional[Tuple[int, int]] = None) -> np.ndarray:
     return np.ascontiguousarray(img, dtype=np.float32)
 
 
+def load_shipped_test_image(size: Optional[Tuple[int, int]] = None
+                            ) -> np.ndarray:
+    """The repo's own sample photograph
+    (`torchoptics_tpu/data/sample_image.png`, public domain) — the working
+    counterpart of the reference's `data/sample_image.png` asset."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(_ASSET).convert("RGB"), dtype=np.float32)
+    if size is not None:
+        img = _resize_nearest_box(img, size)
+    return np.ascontiguousarray(img, dtype=np.float32)
+
+
 def load_test_image(size: Optional[Tuple[int, int]] = None,
                     prefer_real: bool = True) -> np.ndarray:
-    """Best-available test image: the real photograph when matplotlib is
-    present, else the procedural chart."""
+    """Best-available test image: the shipped repo asset, then matplotlib's
+    bundled photograph, else the procedural chart."""
     if prefer_real:
-        try:
-            return load_real_test_image(size)
-        except Exception:
-            pass
+        for loader in (load_shipped_test_image, load_real_test_image):
+            try:
+                return loader(size)
+            except Exception:
+                pass
     hw = size or (128, 128)
     return synthetic_test_image(*hw)
