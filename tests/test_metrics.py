@@ -163,3 +163,43 @@ def test_chromatic_metrics_corrected_designs():
     g2 = jax.grad(lambda c: metrics.compute_lateral_color(
         specs, lens.replace(c=c))[0])(lens.c)
     assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_flagship_xy_sibling_beats_y_flagship_off_axis():
+    """`zoo.DOUBLE_GAUSS_XY` is the same topology refined against the
+    radial 2-D spot RMS instead of the reference's y-only metric
+    (`ray_tracing_lite.py:678-702`), which is blind to sagittal blur.
+    Pin the trade both ways: the xy sibling is several times tighter in
+    radial truth (especially at the field edge), the y flagship keeps the
+    better y-only number, and both transmit 100%."""
+    cfg = trace.TraceConfig(
+        mode="circular", n_rays=(16, 16), rel_fields=(0.0, 0.707, 1.0),
+        wavelengths=(459.0, 520.0, 640.0), n_ray_aiming_iter=1)
+
+    out = {}
+    for name in ("double_gauss", "double_gauss_xy", "double_gauss_asph_xy"):
+        specs, lens = zoo.build(name)
+        res = jax.jit(lambda s, l: trace.trace_rays(s, l, cfg))(specs, lens)
+        out[name] = dict(
+            ok=float(jnp.mean(res.ray_ok.astype(jnp.float32))),
+            rms_y=float(metrics.compute_rms2d(res.x, res.y, res.ray_ok)[0]),
+            xy_edge=float(
+                metrics.compute_spot_rms_xy(res.x, res.y, res.ray_ok)[0, -1]),
+            rms_xy=float(metrics.compute_spot_rms(
+                res.x, res.y, res.ray_ok, "xy")[0]))
+
+    y, xy = out["double_gauss"], out["double_gauss_xy"]
+    assert y["ok"] == 1.0 and xy["ok"] == 1.0, (y, xy)
+    # Radial truth: the xy sibling is >=3x tighter overall, >=4x at the
+    # field edge (measured 0.078->0.021 mean, 0.154->0.032 edge).
+    assert xy["rms_xy"] < y["rms_xy"] / 3.0, (xy["rms_xy"], y["rms_xy"])
+    assert xy["xy_edge"] < y["xy_edge"] / 4.0, (xy["xy_edge"], y["xy_edge"])
+    # Reference metric: the y flagship stays the best spherical y design.
+    assert y["rms_y"] < xy["rms_y"] / 2.0, (y["rms_y"], xy["rms_y"])
+    # The aspherized xy flagship wins BOTH metrics (measured rms_y 0.0028,
+    # rms_xy 0.0044 mean / 0.0069 edge at the refine eval sampling).
+    axy = out["double_gauss_asph_xy"]
+    assert axy["ok"] == 1.0, axy
+    assert axy["rms_xy"] < 0.008, axy
+    assert axy["xy_edge"] < 0.012, axy
+    assert axy["rms_y"] < y["rms_y"] * 1.5, (axy["rms_y"], y["rms_y"])

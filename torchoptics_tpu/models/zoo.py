@@ -84,6 +84,22 @@ DOUBLE_GAUSS = {
     "nd": [1.6778998374938965, 1.6515969038009644, 1.737999439239502, 1.737999439239502, 1.6515969038009644, 1.6778998374938965],
     "v": [55.3400764465332, 58.5494499206543, 32.2607307434082, 32.2607307434082, 58.5494499206543, 55.3400764465332],
 }
+# Radial-metric sibling of the double Gauss: same topology/glass, refined
+# against the 2-D (xy) spot RMS (`metrics.compute_spot_rms_xy`) instead of
+# the reference-parity Y-deviation metric, which is blind to sagittal blur
+# (`ray_tracing_lite.py:678-702` measures y only). The y-refined flagship
+# reads rms_y 0.0038 but its radial truth is rms_xy 0.078 (0.154 at the
+# field edge); this design trades to rms_y 0.016 / rms_xy 0.021 (0.032 at
+# the edge) at 100% transmission — ~4x tighter off-axis where it counts.
+# Recipe: examples/refine_flagship.py --metric xy (keep-best snapshots).
+DOUBLE_GAUSS_XY = {
+    "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
+    "f_number": [2.0],
+    "c": [0.014554506167769432, 0.006289103999733925, 0.022626444697380066, 0.03690723329782486, 0.024477176368236542, 0.0, -0.026548957452178, 0.05122699961066246, -0.03053668513894081, 0.02640804648399353, 0.01444872748106718],
+    "t": [2.8194401264190674, 1.1764885187149048, 3.7081003189086914, 10.759910583496094, 9.233357429504395, 0.7993483543395996, 0.7997804880142212, 21.603954315185547, 0.7997656464576721, 41.803611755371094, 11.998438835144043],
+    "nd": [1.6778998374938965, 1.6515969038009644, 1.737999439239502, 1.737999439239502, 1.6515969038009644, 1.6778998374938965],
+    "v": [55.3400764465332, 58.5494499206543, 32.2607307434082, 32.2607307434082, 58.5494499206543, 55.3400764465332],
+}
 # fmt: on
 
 
@@ -106,13 +122,37 @@ DOUBLE_GAUSS_ASPH = {
     "asph": [[-3.2555360007791023e-07, -2.6781102335782236e-10], [1.4868712128190964e-07, -9.131102818304981e-11], [-5.338698656487395e-07, -5.1910236525953835e-11], [2.410550450804294e-06, 2.122549247474126e-09], [5.074907960533892e-08, 5.381894929712416e-10], [9.656168913352303e-06, 2.6058927238281626e-10], [-1.0646998589436407e-06, 7.328275208884349e-10], [-4.1074199543800205e-06, -2.3845652119547367e-09], [-4.225510963351553e-07, 1.0861155030905678e-10], [-2.3477605282096192e-07, -6.589367940179613e-10], [1.6099927506729728e-06, 9.635343634073479e-10]],
 }
 
+# Radial-metric aspherized flagship: conic + r^4/r^6 terms jointly
+# re-optimized from the DOUBLE_GAUSS_XY parent against the radial 2-D spot
+# RMS (examples/refine_flagship.py --lens double_gauss_xy --aspherize
+# --metric xy). Where DOUBLE_GAUSS_ASPH's radial truth is 0.065 mm mean /
+# 0.129 mm at the field edge (its y-only objective never saw the sagittal
+# blur), this design measures rms_xy 0.0044 mm mean / 0.0069 mm edge AND
+# rms_y 0.0028 mm — radially ~15x tighter off-axis while beating the
+# *spherical* y-flagship on the reference's own metric, at 100%
+# transmission. The best photographic design in the zoo.
+# fmt: off
+DOUBLE_GAUSS_ASPH_XY = {
+    "stop_idx": [5], "sequence": ["GAGGAAGGAGA"], "hfov": [19.0],
+    "f_number": [2.0],
+    "c": [0.006173975300043821, 0.011108829639852047, 0.022080160677433014, 0.018033716827630997, 0.013675778172910213, 0.0, -0.02215453051030636, 0.021737800911068916, -0.0332721471786499, 0.03160027042031288, 0.03482900187373161],
+    "t": [1.158659815788269, 2.248185396194458, 3.657710313796997, 3.1868600845336914, 22.511306762695312, 0.7998887896537781, 18.577590942382812, 3.4666595458984375, 0.7998051047325134, 29.972673416137695, 23.632997512817383],
+    "nd": DOUBLE_GAUSS["nd"],
+    "v": DOUBLE_GAUSS["v"],
+    "kappa": [0.007160924840718508, 0.03104523941874504, -0.13356231153011322, 0.454739511013031, 0.09641707688570023, 0.0, 0.688910186290741, -0.8041915893554688, 0.017625585198402405, -0.1573670208454132, 0.4081938862800598],
+    "asph": [[2.4000198095563974e-07, -4.875347903166016e-10], [2.9792678901685576e-07, 1.1868035443285407e-09], [-1.2696110616161604e-06, 1.1783480857729955e-09], [1.8313395457880688e-06, 3.6227214561534993e-09], [4.007555389762274e-07, 9.62406931925841e-10], [7.82309416536009e-06, -2.133839771545354e-09], [-1.4915842712071026e-06, -1.0179949327948634e-08], [-9.109940037888009e-06, 3.1042286519067375e-09], [1.1090209000030882e-06, -7.01060154373323e-10], [-8.47623368827044e-07, -9.225069597107449e-10], [-1.090266891878855e-06, 9.367889575173649e-09]],
+}
+# fmt: on
+
 ZOO: Dict[str, dict] = {
     "singlet": SINGLET,
     "doublet": DOUBLET,
     "cooke": COOKE,
     "tessar": TESSAR,
     "double_gauss": DOUBLE_GAUSS,
+    "double_gauss_xy": DOUBLE_GAUSS_XY,
     "double_gauss_asph": DOUBLE_GAUSS_ASPH,
+    "double_gauss_asph_xy": DOUBLE_GAUSS_ASPH_XY,
 }
 
 
