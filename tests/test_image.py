@@ -35,6 +35,26 @@ def test_svola_energy_conservation_uniform_blur():
     np.testing.assert_allclose(inner.mean(), want.mean(), rtol=2e-2)
 
 
+def test_svola_fast_fft_sizes_matches_exact():
+    # fft_fast_sizes pads the patch FFTs up to the next 2^a·3^b·5^c length;
+    # the kept (valid) region must be unchanged to FFT roundoff.
+    rng = np.random.default_rng(7)
+    im = jnp.asarray(rng.uniform(0, 1, (1, 33, 39, 2)).astype(np.float32))
+    psfs = jnp.asarray(
+        rng.uniform(0, 1, (1, 9, 7, 7, 2)).astype(np.float32))
+    ref = img_mod.svola_convolution(im, 5, psfs, (3, 3), "hann")
+    fast = img_mod.svola_convolution(im, 5, psfs, (3, 3), "hann",
+                                     fft_fast_sizes=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_next_fast_fft_len():
+    assert [img_mod.next_fast_fft_len(n) for n in
+            (1, 2, 7, 97, 99, 101, 120, 121, 128, 131)] == \
+        [1, 2, 8, 100, 100, 108, 120, 125, 128, 135]
+
+
 def test_svola_differentiable():
     im = jnp.ones((1, 24, 24, 1))
     psf = jnp.full((1, 4, 5, 5, 1), 1.0 / 25)

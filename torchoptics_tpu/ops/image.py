@@ -29,6 +29,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def next_fast_fft_len(n: int) -> int:
+    """Smallest 2^a·3^b·5^c ≥ n — the sizes XLA:TPU's FFT handles without
+    falling back to slow generic (Bluestein) factor paths."""
+    best = 1
+    while best < n:
+        best *= 2
+    m = best
+    p3 = 1
+    while p3 <= best:
+        p5 = 1
+        while p3 * p5 <= best:
+            # smallest power of two lifting p3*p5 over n
+            p2 = 1
+            while p2 * p3 * p5 < n:
+                p2 *= 2
+            m = min(m, p2 * p3 * p5)
+            p5 *= 5
+        p3 *= 3
+    return m
+
+
 def _window(kind: str, n: int) -> np.ndarray:
     xs = np.linspace(0, 1, n + 2)[1:-1]
     if kind == "boxcar":
@@ -40,7 +61,8 @@ def _window(kind: str, n: int) -> np.ndarray:
 
 def svola_convolution(image: jnp.ndarray, overlap_size, psfs: jnp.ndarray,
                       psfs_grid_shape: Tuple[int, int],
-                      window_type: str = "boxcar") -> jnp.ndarray:
+                      window_type: str = "boxcar",
+                      fft_fast_sizes: bool = False) -> jnp.ndarray:
     """Spatially-Varying OverLap-Add convolution.
 
     Args:
@@ -86,12 +108,18 @@ def svola_convolution(image: jnp.ndarray, overlap_size, psfs: jnp.ndarray,
         [image[:, r0:r1 + 2 * pad_h, c0:c1 + 2 * pad_w, :]
          for (r0, r1, c0, c1) in corners], axis=1)  # (B, N, ph, pw, C)
 
-    # FFT convolution per patch with its local PSF.
+    # FFT convolution per patch with its local PSF. With fft_fast_sizes the
+    # transforms run at the next 2^a·3^b·5^c length ≥ the patch size; the
+    # region kept below starts at index k-1, so circular wraparound never
+    # reaches it for any fft length ≥ the patch (pure zero-pad, bit-exact
+    # valid region up to FFT roundoff).
+    fh = next_fast_fft_len(ph) if fft_fast_sizes else ph
+    fw = next_fast_fft_len(pw) if fft_fast_sizes else pw
     psf_padded = jnp.pad(
         psfs, ((0, 0), (0, 0), (0, ph - kh), (0, pw - kw), (0, 0)))
-    f_img = jnp.fft.rfftn(patches, axes=(2, 3))
-    f_psf = jnp.fft.rfftn(psf_padded, axes=(2, 3))
-    conv = jnp.fft.irfftn(f_img * f_psf, s=(ph, pw), axes=(2, 3))
+    f_img = jnp.fft.rfftn(patches, s=(fh, fw), axes=(2, 3))
+    f_psf = jnp.fft.rfftn(psf_padded, s=(fh, fw), axes=(2, 3))
+    conv = jnp.fft.irfftn(f_img * f_psf, s=(fh, fw), axes=(2, 3))
     # Undo the circular shift introduced by the un-centered kernel.
     conv = jnp.roll(conv, shift=(-pad_h, -pad_w), axis=(2, 3))
     # Crop the kernel padding back to the patch size.
