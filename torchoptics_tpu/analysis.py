@@ -26,6 +26,7 @@ import numpy as np
 
 from torchoptics_tpu.models.structure import Lens, Specs, Structure
 from torchoptics_tpu import simulator as sim_mod
+from torchoptics_tpu.ops import abcd as abcd_mod
 from torchoptics_tpu.ops import metrics as metrics_mod
 from torchoptics_tpu.ops import trace as trace_mod
 
@@ -33,6 +34,8 @@ __all__ = [
     "Tolerances", "tile_population", "perturb_lens",
     "tolerance_analysis", "sensitivities", "field_mtf",
     "diffraction_mtf", "wavefront_rms", "refocus",
+    "ray_fans", "field_curvature", "longitudinal_aberration",
+    "seidel_coefficients", "seidel_focal_shifts",
 ]
 
 
@@ -353,6 +356,266 @@ def wavefront_rms(specs: Specs, lens: Lens,
     mean = jnp.sum(resid * w, axis=-1) / nrm
     var = jnp.sum(w * (resid - mean[..., None]) ** 2, axis=-1) / nrm
     return jnp.mean(jnp.sqrt(var + 1e-20))
+
+
+def _fan_trace(specs: Specs, lens: Lens, config: trace_mod.TraceConfig,
+               px, py, key=None) -> trace_mod.TraceResult:
+    """Trace an explicit pupil fan (relative coordinates) through the full
+    front-end (vignetting → aiming → EPD scaling)."""
+    dtype = config.dtype
+    xy = (jnp.asarray(px, dtype).reshape(1, 1, -1, 1),
+          jnp.asarray(py, dtype).reshape(1, 1, -1, 1))
+    return trace_mod.trace_rays(specs, lens, config, key=key, xy=xy)
+
+
+def ray_fans(specs: Specs, lens: Lens, config: trace_mod.TraceConfig,
+             n: int = 33, pupil_fraction: float = 1.0,
+             key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+    """Transverse ray-aberration fans — the classical "ray fan plot".
+
+    Traces a meridional fan (px=0, py ∈ ±``pupil_fraction``) and a sagittal
+    fan (py=0, px ∈ ±``pupil_fraction``) at every ``config.rel_fields`` /
+    ``config.wavelengths`` and returns image-plane deviations from the
+    chief ray:
+
+      ``p``               (n,)        relative pupil coordinate of the fan
+      ``eps_y``/``eps_x`` (B, F, n, W) tangential εy(py) / sagittal εx(px), mm
+      ``ok_t``/``ok_s``   (B, F, n, W) validity masks
+
+    TPU-build superset (no reference counterpart; the nearest inputs are the
+    meridional/sagittal samplers, `ray_tracing.py:358-375`). ``n`` must be
+    odd so the fan contains the chief ray exactly. Jittable/differentiable;
+    honors vignetting and ray aiming from ``config``.
+    """
+    if n % 2 == 0:
+        raise ValueError(f"ray_fans needs an odd n so the chief ray is a fan "
+                         f"member; got n={n}")
+    p = np.linspace(-1.0, 1.0, n, dtype=np.float32) * float(pupil_fraction)
+    zeros = np.zeros_like(p)
+    res_t = _fan_trace(specs, lens, config, zeros, p, key=key)
+    res_s = _fan_trace(specs, lens, config, p, zeros, key=key)
+    chief = n // 2
+    eps_y = res_t.y - res_t.y[:, :, chief:chief + 1, :]
+    eps_x = res_s.x - res_s.x[:, :, chief:chief + 1, :]
+    return {"p": jnp.asarray(p), "eps_y": eps_y, "ok_t": res_t.ray_ok,
+            "eps_x": eps_x, "ok_s": res_s.ray_ok}
+
+
+def _best_focus_shift(a, u, ok):
+    """Least-squares image-plane shift minimizing the spread of intercepts
+    ``a`` with transverse slopes ``u`` over the pupil axis (axis 2):
+    a(δ) = a + δ·u ⇒ δ* = −Σw(a−ā)(u−ū)/Σw(u−ū)² (same closed form as
+    `refocus`, reduced per (field, λ) instead of per system)."""
+    w = ok.astype(a.dtype)
+    nrm = jnp.maximum(jnp.sum(w, axis=2, keepdims=True), 1.0)
+    ac = a - jnp.sum(a * w, axis=2, keepdims=True) / nrm
+    uc = u - jnp.sum(u * w, axis=2, keepdims=True) / nrm
+    num = jnp.sum(w * ac * uc, axis=2)                       # (B, F, W)
+    den = jnp.maximum(jnp.sum(w * uc ** 2, axis=2), 1e-12)
+    return -num / den
+
+
+def field_curvature(specs: Specs, lens: Lens, config: trace_mod.TraceConfig,
+                    n: int = 11, pupil_fraction: float = 0.25,
+                    key: Optional[jax.Array] = None) -> Dict[str, jnp.ndarray]:
+    """Astigmatic field curves: tangential/sagittal best-focus shift per
+    field — the classical field-curvature plot.
+
+    For each (field, λ) a narrow meridional (sagittal) fan about the chief
+    ray is traced and the image-plane shift δ that collapses it is solved in
+    closed form (intercepts move linearly with δ: y(δ) = y + δ·cy/cz).
+    Returns, each (B, F, W), in mm (positive = focus beyond the image plane):
+
+      ``dz_t``/``dz_s``   tangential / sagittal field curvature
+      ``astigmatism``     dz_t − dz_s
+
+    TPU-build superset (no reference counterpart). ``pupil_fraction`` keeps
+    the fan differential (Coddington-like close rays); widen it to measure
+    best focus of the full aperture instead. Jittable and differentiable.
+    """
+    if n % 2 == 0:
+        raise ValueError(f"field_curvature needs an odd n; got n={n}")
+    p = np.linspace(-1.0, 1.0, n, dtype=np.float32) * float(pupil_fraction)
+    zeros = np.zeros_like(p)
+
+    def slope(res):
+        cz = jnp.sqrt(jnp.maximum(1.0 - res.cx ** 2 - res.cy ** 2, 1e-12))
+        return res.cx / cz, res.cy / cz
+
+    res_t = _fan_trace(specs, lens, config, zeros, p, key=key)
+    _, ty = slope(res_t)
+    dz_t = _best_focus_shift(res_t.y, ty, res_t.ray_ok)
+
+    res_s = _fan_trace(specs, lens, config, p, zeros, key=key)
+    tx, _ = slope(res_s)
+    dz_s = _best_focus_shift(res_s.x, tx, res_s.ray_ok)
+
+    return {"dz_t": dz_t, "dz_s": dz_s, "astigmatism": dz_t - dz_s}
+
+
+def longitudinal_aberration(specs: Specs, lens: Lens,
+                            config: trace_mod.TraceConfig,
+                            n: int = 17, pupil_fraction: float = 1.0,
+                            key: Optional[jax.Array] = None
+                            ) -> Dict[str, jnp.ndarray]:
+    """Longitudinal spherical aberration / spherochromatism.
+
+    Traces an on-axis meridional fan (``config.rel_fields`` is overridden
+    with field 0) and returns the axial crossing distance of each ray past
+    the image plane, dz(p) = −y/(cy/cz):
+
+      ``p``    (n,)       relative pupil heights (0, ``pupil_fraction``]
+      ``dz``   (B, n, W)  longitudinal focus shift per pupil height and λ, mm
+
+    dz(p→0) is the paraxial chromatic focal shift (closes on the ABCD
+    `metrics.compute_axial_color` — cross-checked in tests); dz(1)−dz(0⁺)
+    is the classical LSA. TPU-build superset (no reference counterpart).
+    """
+    cfg0 = dataclasses.replace(config, rel_fields=(0.0,))
+    p = (np.arange(1, n + 1, dtype=np.float32) / n) * float(pupil_fraction)
+    res = _fan_trace(specs, lens, cfg0, np.zeros_like(p), p, key=key)
+    cz = jnp.sqrt(jnp.maximum(1.0 - res.cx ** 2 - res.cy ** 2, 1e-12))
+    ty = res.cy / cz
+    safe = jnp.where(jnp.abs(ty) > 1e-12, ty, 1.0)
+    dz = jnp.where(jnp.abs(ty) > 1e-12, -res.y / safe, 0.0)
+    return {"p": jnp.asarray(p), "dz": dz[:, 0, :, :]}
+
+
+def seidel_coefficients(specs: Specs, lens: Lens,
+                        wavelength="d",
+                        chromatic=("F", "C")) -> Dict[str, jnp.ndarray]:
+    """Third-order (Seidel) wavefront aberration sums, per system.
+
+    Traces the paraxial marginal ray (infinite conjugate, height EPD/2,
+    u=0) and chief ray (paraxial field angle ``specs.hfov`` through the
+    entrance-pupil center) and accumulates Welford's refraction-invariant
+    per-surface forms with A = n(u + yc), Ā = n(ū + ȳc):
+
+      ``S1``  spherical        −A²·y·Δ(u/n)
+      ``S2``  coma             −A·Ā·y·Δ(u/n)
+      ``S3``  astigmatism      −Ā²·y·Δ(u/n)
+      ``S4``  Petzval          −H²·c·Δ(1/n)
+      ``S5``  distortion       (Ā/A)·(S3ₖ + S4ₖ)
+      ``C1``/``C2`` axial/lateral color  A·y·Δ(δn/n), Ā·y·Δ(δn/n)
+        (δn = n(λ₁) − n(λ₂) of the ``chromatic`` pair per medium)
+
+    plus ``H`` (Lagrange invariant), ``u_img`` (marginal image-space
+    angle) and ``per_surface`` (each sum broken out per surface, (B, S) —
+    the classical surface-contribution table). All (B,) unless noted;
+    units are lengths (wavefront measure). TPU-build superset (the
+    reference has no aberration-theory layer). Conic/asphere surfaces
+    contribute through their effective 4th-order sag (κ·c³/8 + asph₀,
+    the classical aspheric increment ladder; higher asphere orders are
+    5th-order+ and ignored). Chromatic sums treat the asphere terms as
+    achromatic. Jittable and differentiable; padding surfaces are masked
+    out.
+    """
+    lam = (wavelength,) + tuple(chromatic)
+    n_all = lens.get_refractive_indices(lam)                # (B, S, 3)
+    mask = lens.structure.mask_jnp.astype(lens.dtype)       # (B, S)
+    one = jnp.ones_like(n_all[:, :1, :])
+    n_full = jnp.concatenate((one, n_all), axis=1)          # (B, S+1, 3)
+    # masked-out surfaces are no-op interfaces: n_next := n_prev
+    for k in range(n_all.shape[1]):
+        keep = mask[:, k:k + 1]
+        n_full = n_full.at[:, k + 1, :].set(
+            keep * n_full[:, k + 1, :] + (1 - keep) * n_full[:, k, :])
+    nd_prev, nd_next = n_full[:, :-1, 0], n_full[:, 1:, 0]  # (B, S)
+    dn = n_full[..., 1] - n_full[..., 2]                    # δn, (B, S+1)
+    dn_prev, dn_next = dn[:, :-1], dn[:, 1:]
+
+    c = lens.c * mask
+    t = lens.t
+    S = c.shape[1]
+    a4_eff = _a4_effective(lens)
+
+    y = jnp.broadcast_to(specs.epd[:, None] / 2.0, c[:, :1].shape)[:, 0]
+    u = jnp.zeros_like(y)
+    ub = jnp.broadcast_to(specs.hfov, y.shape)
+    z_p = abcd_mod.compute_pupil_position(lens)
+    yb = -z_p * ub
+    H = nd_prev[:, 0] * (ub * y - u * yb)                   # Lagrange inv.
+
+    sums = {k: [] for k in ("S1", "S2", "S3", "S4", "S5", "C1", "C2")}
+    for k in range(S):
+        ck, mk = c[:, k], mask[:, k]
+        n0, n1 = nd_prev[:, k], nd_next[:, k]
+        A = n0 * (u + y * ck)
+        Ab = n0 * (ub + yb * ck)
+        u_new = (n0 * u - y * ck * (n1 - n0)) / n1
+        ub_new = (n0 * ub - yb * ck * (n1 - n0)) / n1
+        d_un = u_new / n1 - u / n0
+        d_inv = 1.0 / n1 - 1.0 / n0
+        d_dnn = dn_next[:, k] / n1 - dn_prev[:, k] / n0
+        s1 = -(A ** 2) * y * d_un * mk
+        s2 = -A * Ab * y * d_un * mk
+        s3 = -(Ab ** 2) * y * d_un * mk
+        s4 = -(H ** 2) * ck * d_inv * mk
+        A_safe = jnp.where(jnp.abs(A) > 1e-12, A, 1.0)
+        s5 = jnp.where(jnp.abs(A) > 1e-12, (Ab / A_safe) * (s3 + s4), 0.0)
+        if a4_eff is not None:
+            # classical aspheric increments: an added 4th-order sag G·r⁴
+            # gives δS_I = 8G(n'−n)y⁴ in this sign convention (pinned
+            # against the real-ray engine in tests/test_seidel.py), scaling
+            # down the (ȳ/y) ladder; no S4 term
+            K = 8.0 * a4_eff[:, k] * (n1 - n0) * mk
+            s1 = s1 + K * y ** 4
+            s2 = s2 + K * y ** 3 * yb
+            s3 = s3 + K * y ** 2 * yb ** 2
+            s5 = s5 + K * y * yb ** 3
+        c1 = A * y * d_dnn * mk
+        c2 = Ab * y * d_dnn * mk
+        for name, v in zip(("S1", "S2", "S3", "S4", "S5", "C1", "C2"),
+                           (s1, s2, s3, s4, s5, c1, c2)):
+            sums[name].append(v)
+        u, ub = u_new, ub_new
+        tk = t[:, k]
+        y = y + tk * u
+        yb = yb + tk * ub
+
+    per_surface = {k: jnp.stack(v, axis=1) for k, v in sums.items()}
+    out: Dict[str, jnp.ndarray] = {k: jnp.sum(v, axis=1)
+                                   for k, v in per_surface.items()}
+    out["H"] = H
+    out["u_img"] = u
+    out["per_surface"] = per_surface
+    return out
+
+
+def _a4_effective(lens: Lens) -> Optional[jnp.ndarray]:
+    """Extra 4th-order sag coefficient vs the paraxial sphere, (B, S).
+
+    Conic sag expands as (c/2)r² + (1+κ)c³/8·r⁴ + … (sphere: κ=0), and the
+    even-asphere series adds ``asph[..., 0]``·r⁴ (`ops.surfaces.sag_and_slope`
+    convention), so a₄ = κ·c³/8 + asph₀. Higher terms are 5th-order+."""
+    a4 = None
+    if lens.kappa is not None:
+        a4 = lens.kappa * lens.c ** 3 / 8.0
+    if lens.asph is not None:
+        a4 = lens.asph[..., 0] if a4 is None else a4 + lens.asph[..., 0]
+    return a4
+
+
+def seidel_focal_shifts(seidel: Dict[str, jnp.ndarray]
+                        ) -> Dict[str, jnp.ndarray]:
+    """Predicted longitudinal focal shifts from the Seidel sums, (B,), in
+    the same convention as the real-ray analyses (positive = focus beyond
+    the image plane; the cross-check lives in `tests/test_seidel.py`):
+
+      ``lsa_marginal``     marginal-ray focus shift  −S1/(2·u'²)
+      ``dz_t``/``dz_s``    tangential/sagittal field curvature at full field
+                           −(3·S3 + S4)/(2·u'²), −(S3 + S4)/(2·u'²)
+      ``chromatic_shift``  axial-color focal shift  −C1/u'²
+                           (= `metrics.compute_axial_color` of the same
+                           ``chromatic`` pair, first-order in δn)
+    """
+    u2 = jnp.maximum(seidel["u_img"] ** 2, 1e-16)
+    return {
+        "lsa_marginal": -seidel["S1"] / (2.0 * u2),
+        "dz_t": -(3.0 * seidel["S3"] + seidel["S4"]) / (2.0 * u2),
+        "dz_s": -(seidel["S3"] + seidel["S4"]) / (2.0 * u2),
+        "chromatic_shift": -seidel["C1"] / u2,
+    }
 
 
 def sensitivities(specs: Specs, lens: Lens,

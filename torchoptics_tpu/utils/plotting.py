@@ -52,17 +52,17 @@ def show_trace_result(x, y, ray_ok, loss_unsup, wavelengths, show=True,
     return fig
 
 
-def plot_lens_layout(specs, lens, n_rays: int = 7, ax=None, show=True):
+def plot_lens_layout(specs, lens, n_rays: int = 7, fields=(0.0, 1.0),
+                     ax=None, show=True):
     """2-D cross-section of the lens with meridional ray fans overlaid.
 
     New capability (the reference has no layout plot): surfaces are drawn
-    from their sag functions; rays are retraced per-surface to collect the
-    vertex-frame hit points.
+    from their sag functions; ray paths come from one traced meridional fan
+    per field using the per-surface ``"y"``/``"z"`` aggregate stacks.
     """
+    import jax
     import matplotlib.pyplot as plt
-    import jax.numpy as jnp
     from torchoptics_tpu.ops import trace as trace_mod
-    from torchoptics_tpu.ops import surfaces as surf_mod
 
     if ax is None:
         fig, ax = plt.subplots(figsize=(8, 4))
@@ -93,7 +93,37 @@ def plot_lens_layout(specs, lens, n_rays: int = 7, ax=None, show=True):
                 sag = sag + aj * r2 ** (j + 2)
         ax.plot(vertex[k] + sag, h, "k-", lw=1)
 
-    ax.axvline(vertex[-1] + t[n_surf - 1], color="gray", lw=1, ls="--")
+    z_img = vertex[-1] + t[n_surf - 1]
+    ax.axvline(z_img, color="gray", lw=1, ls="--")
+
+    # Meridional fan per field: per-surface hits from the "y"/"z" aggregate
+    # stacks ("z" is recorded after the z -= t_k frame shift, so the global
+    # hit is vertex[k] + z_k + t_k).
+    cfg = trace_mod.TraceConfig(
+        mode="meridional_uniform", n_rays=(int(n_rays),),
+        rel_fields=tuple(float(f) for f in fields), wavelengths=("d",),
+        n_ray_aiming_iter=1)
+    res = jax.jit(lambda l: trace_mod.trace_rays(
+        specs, l, cfg, aggregate=("y", "z")))(lens)
+    y_hits = np.asarray(res.stacks["y"])[:n_surf, 0]      # (S, F, P, 1)
+    z_hits = (np.asarray(res.stacks["z"])[:n_surf, 0]
+              + (vertex + t[:n_surf])[:, None, None, None])
+    y_img = np.asarray(res.y)[0]                          # (F, P, 1)
+    ok = np.asarray(res.ray_ok)[0]
+    u = float(np.asarray(specs.hfov)[0])
+    z_start = vertex[0] - 0.12 * max(z_img - vertex[0], 1e-6)
+    colors = plt.cm.viridis(np.linspace(0.0, 0.8, len(cfg.rel_fields)))
+    for f in range(len(cfg.rel_fields)):
+        ty = np.tan(u * cfg.rel_fields[f])
+        for r in range(y_hits.shape[2]):
+            if not ok[f, r, 0]:
+                continue
+            zs = np.concatenate(([z_start], z_hits[:, f, r, 0], [z_img]))
+            # entry segment: extrapolate the incoming field angle backwards
+            y0 = y_hits[0, f, r, 0] - (z_hits[0, f, r, 0] - z_start) * ty
+            ys = np.concatenate(([y0], y_hits[:, f, r, 0], [y_img[f, r, 0]]))
+            ax.plot(zs, ys, "-", color=colors[f], lw=0.7, alpha=0.8)
+
     ax.set_xlabel("z")
     ax.set_ylabel("y")
     ax.set_title("Lens layout")
