@@ -39,6 +39,10 @@ def main():
                             rel_fields=fields, wavelengths=("C", "d", "F"),
                             n_ray_aiming_iter=1)
 
+    # The report prints d-line columns; derive the index from the config so
+    # editing cfg.wavelengths can't silently mislabel the table.
+    d_idx = cfg.wavelengths.index("d")
+
     sd = analysis.seidel_coefficients(specs, lens)
     ps = {k: np.asarray(v)[0] for k, v in sd["per_surface"].items()}
     names = ("S1", "S2", "S3", "S4", "S5", "C1", "C2")
@@ -52,8 +56,8 @@ def main():
           for k, v in analysis.seidel_focal_shifts(sd).items()}
     fc = analysis.field_curvature(specs, lens, cfg, n=9, pupil_fraction=0.1)
     la = analysis.longitudinal_aberration(specs, lens, cfg, n=9)
-    dz_t = np.asarray(fc["dz_t"])[0, :, 1]
-    dz_s = np.asarray(fc["dz_s"])[0, :, 1]
+    dz_t = np.asarray(fc["dz_t"])[0, :, d_idx]
+    dz_s = np.asarray(fc["dz_s"])[0, :, d_idx]
     print("\n== Field curves (d-line, mm; real rays vs third-order) ==")
     print("field   dz_t      dz_s      astig")
     for i, f in enumerate(fields):
@@ -61,7 +65,7 @@ def main():
               f"{dz_t[i] - dz_s[i]:8.4f}")
     print(f"Seidel full-field prediction: dz_t {fs['dz_t'] + dz_t[0]:.4f}  "
           f"dz_s {fs['dz_s'] + dz_s[0]:.4f} (relative to on-axis focus)")
-    print(f"LSA marginal (real rays): {np.asarray(la['dz'])[0, -1, 1]:.4f}  "
+    print(f"LSA marginal (real rays): {np.asarray(la['dz'])[0, -1, d_idx]:.4f}  "
           f"third-order: {fs['lsa_marginal']:.4f}  "
           f"axial color F-C: {fs['chromatic_shift']:.4f}")
 
@@ -70,8 +74,8 @@ def main():
     eps_x = np.asarray(fans["eps_x"])[0]
     print("\n== Ray-fan extrema (d-line, mm) ==")
     for i, f in enumerate(fields):
-        print(f"field {f:5.3f}: max|eps_y| {np.abs(eps_y[i, :, 1]).max():.5f}"
-              f"  max|eps_x| {np.abs(eps_x[i, :, 1]).max():.5f}")
+        print(f"field {f:5.3f}: max|eps_y| {np.abs(eps_y[i, :, d_idx]).max():.5f}"
+              f"  max|eps_x| {np.abs(eps_x[i, :, d_idx]).max():.5f}")
 
     if args.plot:
         import matplotlib
@@ -81,7 +85,7 @@ def main():
         fig, axs = plt.subplots(1, 3, figsize=(15, 4))
         p = np.asarray(fans["p"])
         for i, f in enumerate(fields):
-            axs[0].plot(p, eps_y[i, :, 1], label=f"field {f:g}")
+            axs[0].plot(p, eps_y[i, :, d_idx], label=f"field {f:g}")
         axs[0].set_title("tangential fan (d)")
         axs[0].set_xlabel("py")
         axs[0].set_ylabel("eps_y [mm]")

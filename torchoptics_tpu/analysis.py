@@ -395,10 +395,18 @@ def ray_fans(specs: Specs, lens: Lens, config: trace_mod.TraceConfig,
     res_t = _fan_trace(specs, lens, config, zeros, p, key=key)
     res_s = _fan_trace(specs, lens, config, p, zeros, key=key)
     chief = n // 2
-    eps_y = res_t.y - res_t.y[:, :, chief:chief + 1, :]
-    eps_x = res_s.x - res_s.x[:, :, chief:chief + 1, :]
-    return {"p": jnp.asarray(p), "eps_y": eps_y, "ok_t": res_t.ray_ok,
-            "eps_x": eps_x, "ok_s": res_s.ray_ok}
+    # Deviations are referenced to the chief-ray fan member; if the chief
+    # ray itself failed (vignetted/TIR — reset_bad_rays zeroes it), the
+    # whole (field, λ) column is meaningless, so mask it out entirely.
+    chief_ok_t = res_t.ray_ok[:, :, chief:chief + 1, :]
+    chief_ok_s = res_s.ray_ok[:, :, chief:chief + 1, :]
+    eps_y = jnp.where(chief_ok_t,
+                      res_t.y - res_t.y[:, :, chief:chief + 1, :], 0.0)
+    eps_x = jnp.where(chief_ok_s,
+                      res_s.x - res_s.x[:, :, chief:chief + 1, :], 0.0)
+    return {"p": jnp.asarray(p), "eps_y": eps_y,
+            "ok_t": res_t.ray_ok & chief_ok_t,
+            "eps_x": eps_x, "ok_s": res_s.ray_ok & chief_ok_s}
 
 
 def _best_focus_shift(a, u, ok):

@@ -52,7 +52,7 @@ def show_trace_result(x, y, ray_ok, loss_unsup, wavelengths, show=True,
     return fig
 
 
-def plot_lens_layout(specs, lens, n_rays: int = 7, fields=(0.0, 1.0),
+def plot_lens_layout(specs, lens, n_rays: int = 7, *, fields=(0.0, 1.0),
                      ax=None, show=True):
     """2-D cross-section of the lens with meridional ray fans overlaid.
 
