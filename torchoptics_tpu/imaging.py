@@ -134,8 +134,10 @@ def apply_optics_model(model: OpticsModel, radiance: jnp.ndarray,
     diag = math.sqrt(img_h ** 2 + img_w ** 2)
     y_map = np.linspace(y0, y1, img_h, dtype=np.float32)
     x_map = np.linspace(x0, x1, img_w, dtype=np.float32)
-    field_map = jnp.asarray(
-        np.sqrt(x_map[None, :] ** 2 + y_map[:, None] ** 2))
+    # Static geometry: keep the field map in numpy so the per-patch PSF
+    # weights constant-fold at trace time (`ops.image.get_psf_weights`) and
+    # the RI hat weights broadcast as constants.
+    field_map = np.sqrt(x_map[None, :] ** 2 + y_map[:, None] ** 2)
 
     # Resize PSFs to the simulated resolution (odd-rounded).
     psf_shape = np.asarray(config.psf_shape)

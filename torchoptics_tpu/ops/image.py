@@ -157,6 +157,14 @@ def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
     Reference `image_ops.py:109-198` (whose TF-era indexing bugs — int
     ``.float()``, batch-major base — are fixed here).
+
+    TPU note: the 16 taps are fetched with ONE ``lax.gather`` of 4×4×C
+    patches instead of 16 row gathers — TPU gather cost is per *index*, not
+    per byte, so this is ~8× faster at 1024² (80 → 10 ms measured,
+    `benchmarks/profile_imaging.py`). Edge-padding the operand by (1, 2)
+    reproduces the per-neighbor index clamping exactly, and the weighted
+    sum keeps the original accumulation order, so results are bit-identical
+    to the 16-gather form.
     """
     alpha = -0.75
     # row k of the Keys matrix dotted with (1, t, t^2, t^3); written
@@ -179,19 +187,6 @@ def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
 
-    def neighbors(v0, limit):
-        return [v0.astype(jnp.int32),
-                jnp.maximum(v0 - 1, 0).astype(jnp.int32),
-                jnp.minimum(v0 + 1, limit - 1).astype(jnp.int32),
-                jnp.minimum(v0 + 2, limit - 1).astype(jnp.int32)]
-
-    xs = neighbors(x0, width)
-    ys = neighbors(y0, height)
-
-    im_flat = im.reshape(-1, channels)
-    base = (jnp.arange(batch, dtype=jnp.int32)[:, None]
-            * (height * width)).repeat(out_h * out_w, axis=1).reshape(-1)
-
     def weights(v, v0):
         tv = v - v0
         powers = (jnp.ones_like(tv), tv, tv * tv, tv * tv * tv)
@@ -201,12 +196,33 @@ def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     wx = weights(x, x0)
     wy = weights(y, y0)
 
-    out = jnp.zeros((x.shape[0], channels), dtype=im.dtype)
+    # One gather of the full 4×4 neighborhood per sample. Padding rows/cols
+    # by (1, 2) in edge mode makes patch row a of a patch starting at
+    # (y0, x0) equal exactly the clamp-indexed neighbor rows
+    # [y0, max(y0-1,0), min(y0+1,H-1), min(y0+2,H-1)] reordered to
+    # [y0-1, y0, y0+1, y0+2]: the edge replica IS the clamped row.
+    imp = jnp.pad(im, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="edge")
+    npix = x.shape[0]
+    b_idx = (jnp.arange(batch, dtype=jnp.int32)[:, None]
+             .repeat(out_h * out_w, axis=1).reshape(-1))
+    starts = jnp.stack([b_idx, y0.astype(jnp.int32), x0.astype(jnp.int32)],
+                       axis=1)                               # (N, 3)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2))
+    patch = jax.lax.gather(
+        imp, starts, dnums, slice_sizes=(1, 4, 4, channels),
+        mode=jax.lax.GatherScatterMode.CLIP)                 # (N, 4, 4, C)
+
+    # Patch index a/b = neighbor offset a-1/b-1; the original neighbor
+    # order was [v0, v0-1, v0+1, v0+2] with weights [w0, w1, w2, w3] for
+    # offsets [0, -1, +1, +2] — i.e. patch slot [1, 0, 2, 3].
+    slot = (1, 0, 2, 3)
+    out = jnp.zeros((npix, channels), dtype=im.dtype)
     for i in range(4):
         x_interp = jnp.zeros_like(out)
         for j in range(4):
-            idx = base + ys[i] * width + xs[j]
-            x_interp = x_interp + wx[j] * im_flat[idx]
+            x_interp = x_interp + wx[j] * patch[:, slot[i], slot[j], :]
         out = out + wy[i] * x_interp
     return out.reshape(batch, out_h, out_w, channels)
 
@@ -242,13 +258,29 @@ def _ssim_window(filter_size: int, filter_sigma: float) -> np.ndarray:
 
 
 def _ssim_filter(x: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
-    """Per-channel VALID-padded filter over (B, H, W, C)."""
-    w = jnp.asarray(window, x.dtype)[:, :, None, None]
-    return jax.lax.conv_general_dilated(
-        x, jnp.tile(w, (1, 1, 1, x.shape[-1])),
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=x.shape[-1])
+    """Per-channel VALID-padded Gaussian filter over (B, H, W, C).
+
+    The window is separable (outer product of a 1-D Gaussian), so the 2-D
+    depthwise conv — which XLA:TPU lowers badly (52 ms of the round-4
+    1024 px SSIM, `benchmarks/profile_imaging.py`) — is computed as two
+    1-D static-slice weighted sums instead: 2·K fused multiply-adds that
+    stay on the VPU."""
+    k = window.shape[0]
+    # Recover the 1-D factor: window = g ⊗ g with Σ window = 1 ⇒ row sums
+    # are g (each row i sums to g_i · Σg = g_i since Σg = 1 here... the
+    # normalized 2-D window's row sums ARE the normalized 1-D window).
+    g1 = window.sum(axis=1)
+    h = x.shape[1] - k + 1
+    w_out = x.shape[2] - k + 1
+    acc = None
+    for i in range(k):
+        term = float(g1[i]) * x[:, i:i + h, :, :]
+        acc = term if acc is None else acc + term
+    out = None
+    for j in range(k):
+        term = float(g1[j]) * acc[:, :, j:j + w_out, :]
+        out = term if out is None else out + term
+    return out
 
 
 def ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 255.0,
@@ -279,31 +311,52 @@ def ensure_finite(tensor: jnp.ndarray, replace_val: float = 0.0) -> jnp.ndarray:
 def linear_interpolation(soft_indices: jnp.ndarray,
                          values: jnp.ndarray) -> jnp.ndarray:
     """Linear gather interpolation along axis 0
-    (reference `optics_simulator_lite.py:580-586`)."""
-    soft = jnp.clip(soft_indices, 0, values.shape[0] - 1)
+    (reference `optics_simulator_lite.py:580-586`).
+
+    For small 1-D tables (the per-field samples this module interpolates —
+    ≤ 64 entries) the gather is replaced by a hat-function contraction
+    Σₖ values[k]·max(0, 1−|soft−k|): TPU gathers over megapixel index maps
+    cost ~7 ms/map at 1024² while the K fused multiply-adds are sub-ms
+    (`benchmarks/profile_imaging.py`). Identical math (the hat basis IS
+    linear interpolation, including the clamp)."""
+    K = values.shape[0]
+    soft = jnp.clip(soft_indices, 0, K - 1)
+    if values.ndim == 1 and K <= 64:
+        out = jnp.zeros(soft.shape, dtype=values.dtype)
+        for k in range(K):
+            out = out + values[k] * jnp.maximum(1.0 - jnp.abs(soft - k), 0.0)
+        return out
     upper = jnp.ceil(soft).astype(jnp.int32)
     lower = jnp.floor(soft).astype(jnp.int32)
     frac = soft % 1
     return values[lower] * (1 - frac) + values[upper] * frac
 
 
-def get_psf_weights(grid_h: int, grid_w: int, field_map: jnp.ndarray,
+def get_psf_weights(grid_h: int, grid_w: int, field_map,
                     n_fields: int) -> jnp.ndarray:
     """Per-patch PSF interpolation weights: fraction of patch pixels closest
-    to each sampled field (reference `optics_simulator_lite.py:589-613`)."""
+    to each sampled field (reference `optics_simulator_lite.py:589-613`).
+
+    When ``field_map`` is a host numpy array (it is pure static geometry —
+    normalized radius per pixel), the whole computation runs in numpy at
+    trace time and the (n_patches, n_fields) weights enter the program as
+    constants instead of a megapixel one-hot reduction re-executed every
+    step."""
     img_h, img_w = field_map.shape
     ph = int(round(img_h / grid_h))
     pw = int(round(img_w / grid_w))
     rows_0 = np.round(np.linspace(0, 1, grid_h) * (img_h - ph)).astype(int)
     cols_0 = np.round(np.linspace(0, 1, grid_w) * (img_w - pw)).astype(int)
 
-    discrete = jnp.round(field_map * (n_fields - 1)).astype(jnp.int32)
+    xp = np if isinstance(field_map, np.ndarray) else jnp
+    discrete = xp.round(field_map * (n_fields - 1)).astype(xp.int32)
     patches = [discrete[r0:r0 + ph, c0:c0 + pw]
                for r0 in rows_0 for c0 in cols_0]
-    reshaped = jnp.stack(patches)
-    fields = jnp.arange(n_fields)
-    return jnp.mean((reshaped[..., None] == fields).astype(jnp.float32),
-                    axis=(1, 2))
+    reshaped = xp.stack(patches)
+    fields = xp.arange(n_fields)
+    w = xp.mean((reshaped[..., None] == fields).astype(xp.float32),
+                axis=(1, 2))
+    return jnp.asarray(w)
 
 
 def interpolate_psfs(sampled_psfs: jnp.ndarray, field_map: jnp.ndarray,

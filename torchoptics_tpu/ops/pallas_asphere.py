@@ -188,8 +188,10 @@ def _fwd_surface_a(c, kappa, t, mu, a_ref, k_surf, n_asph,
 
 
 def _bwd_surface_a(c, kappa, t, mu, a_ref, k_surf, n_asph, pre, loc, d,
-                   dcos2_extra=None, dcos2p_extra=None):
-    """Adjoint of ``_fwd_surface_a``. Returns
+                   dcos2_extra=None, dcos2p_extra=None, ddist_extra=None):
+    """Adjoint of ``_fwd_surface_a``. ``ddist_extra`` injects an
+    OPL-accumulator cotangent on the marching distance (the ``"opl"``
+    kernel mode — see ``pallas_trace._bwd_surface``). Returns
     (d_pre_state, dc, dkappa, dt, dmu_ray, da_list)."""
     x, y, z, cx, cy, cz, ok = pre
     dxD, dyD, dzD, dcxD, dcyD, dczD = d
@@ -298,6 +300,8 @@ def _bwd_surface_a(c, kappa, t, mu, a_ref, k_surf, n_asph, pre, loc, d,
 
     # position update at dist: xs = x + dist cx, zA = z + dist cz
     ddist = dxs * cx + dys * cy + dzA * cz
+    if ddist_extra is not None:
+        ddist = ddist + ddist_extra
     dx = dxs
     dy = dys
     dz = dzA
@@ -364,11 +368,16 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
                   path_bounds, angle_thr, n_per_w,
                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, *refs):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    lu = bool(penalties) and not opl_mode
     if full:
         ref_ref, xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out, ppath_out, pang_out) = outs
-    elif penalties:
+    elif opl_mode:
+        n_ref, xp_ref, yp_ref, cy_ref, *outs = refs
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out, opl_out) = outs
+    elif lu:
         xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out) = outs
@@ -390,6 +399,7 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
     pen_z = jnp.zeros_like(x)
     pen_path = jnp.zeros_like(x)
     pen_ang = jnp.zeros_like(x)
+    opl = jnp.zeros_like(x)
     z_prev = None
 
     for k in range(n_surf):
@@ -397,6 +407,10 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
         (x, y, z, cx, cy, cz, ok2), loc = _fwd_surface_a(
             c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph,
             x, y, z, cx, cy, cz, ok, n_iter)
+        if opl_mode:
+            # OPL leg k travels in the medium BEFORE surface k, n_ref[k]
+            # (same semantics as pallas_trace._fwd_kernel's opl mode).
+            opl = opl + loc["dist"] * _mu_of(n_ref, k, widx, w)
         if k > 0:
             went_bw = (loc["delta_z"] < 0) & loc["ok1"]
             if allow_backward:
@@ -405,7 +419,7 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
                 x, y, z, cx, cy, cz, ok2 = _kill_backward(
                     went_bw, t_ref[k], x, y, z, cx, cy, cz, ok2)
         ok = ok2
-        if penalties:
+        if lu:
             pen_th = pen_th + _theta_norm(loc["cos2"], ok)
             pen_tp = pen_tp + _theta_norm(loc["cos2p"], ok)
             pen_z = pen_z + jnp.maximum(z, 0.0)
@@ -425,6 +439,9 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
     dist = delta_z / cz
     x = x + dist * cx
     y = y + dist * cy
+    if opl_mode:
+        # Final leg: last surface -> image plane, in image-space n_ref[S].
+        opl = opl + dist * _mu_of(n_ref, n_surf, widx, w)
     if allow_backward:
         bw = bw | ((delta_z < 0) & ok)
     else:
@@ -436,13 +453,15 @@ def _fwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
     cy_out[...] = cy
     ok_out[...] = ok
     bw_out[...] = bw
-    if penalties:
+    if lu:
         pth_out[...] = pen_th
         ptp_out[...] = pen_tp
         pz_out[...] = pen_z
     if full:
         ppath_out[...] = pen_path
         pang_out[...] = pen_ang
+    if opl_mode:
+        opl_out[...] = opl
 
 
 
@@ -461,6 +480,8 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
                   path_bounds, angle_thr, n_per_w,
                   z0_ref, c_ref, kap_ref, t_ref, mu_ref, a_ref, *rest):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    lu = bool(penalties) and not opl_mode
     ref_ref = None
     if full:
         (ref_ref, xp_ref, yp_ref, cyin_ref,
@@ -470,7 +491,15 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
          dmu_out, da_out, dref_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
          st_locf, st_locb) = rest
-    elif penalties:
+    elif opl_mode:
+        (n_ref, xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dopl_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
+         dmu_out, da_out, dn_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
+        dpth_ref = dptp_ref = dpz_ref = None
+    elif lu:
         (xp_ref, yp_ref, cyin_ref,
          dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
@@ -524,6 +553,11 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
     dcx = dcx_ref[...] + dx_img * dist_f
     dcy = dcy_ref[...] + dy_img * dist_f
     ddist = dx_img * cx + dy_img * cy
+    dopl = None
+    if opl_mode:
+        # opl += dist_f * n_S: inject into the final-leg distance adjoint.
+        dopl = dopl_ref[...]
+        ddist = ddist + dopl * _mu_of(n_ref, n_surf, widx, w)
     dz = -ddist / cz
     dcz = ddist * (z / (cz * cz))
     dx = dx_img
@@ -543,8 +577,17 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
         if full:
             for k in range(n_surf + 1):
                 dref_out[0, k] = 0.0
+        if opl_mode:
+            for k in range(n_surf + 1):
+                for wi in range(w):
+                    dn_out[0, k, wi] = 0.0
 
-    if penalties:
+    if opl_mode:
+        for wi in range(w):
+            dn_out[0, n_surf, wi] += jnp.sum(
+                jnp.where(widx == wi, dopl * dist_f, 0.0))
+
+    if lu:
         dpth = dpth_ref[...]
         dptp = dptp_ref[...]
         dpz = dpz_ref[...]
@@ -575,8 +618,15 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
         if not allow_backward and k > 0:
             # delta_z = dist * cz_pre (delta_z itself is not stashed)
             kill = (loc["dist"] * st_cz[k] < 0) & loc["ok1"]
-        dcos2_extra = dcos2p_extra = None
-        if penalties:
+        dcos2_extra = dcos2p_extra = ddist_extra = None
+        if opl_mode:
+            # opl += dist_k * n_k (pre-kill accumulation in the forward, so
+            # no kill masking here — matching _fwd_kernel_a's order).
+            ddist_extra = dopl * _mu_of(n_ref, k, widx, w)
+            for wi in range(w):
+                dn_out[0, k, wi] += jnp.sum(
+                    jnp.where(widx == wi, dopl * loc["dist"], 0.0))
+        if lu:
             ok_end = loc["ok2"]
             if kill is not None:
                 ok_end = ok_end & ~kill
@@ -608,7 +658,8 @@ def _bwd_kernel_a(n_surf, w, rows, n_asph, penalties, n_iter, allow_backward,
         ((dx, dy, dz, dcx, dcy, dcz), dc_k, dkap_k, dt_k, dmu_ray,
          da_k) = _bwd_surface_a(
             c_ref[k], kap_ref[k], t_ref[k], mu, a_ref, k, n_asph, pre, loc,
-            (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra)
+            (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra,
+            ddist_extra)
         if dt_kill is not None:
             dt_k = dt_k + dt_kill
         dc_out[0, k] += dc_k
@@ -650,8 +701,9 @@ def trace_fused_asphere(xp, yp, cy, z0, c, kappa, t, mu, asph,
 
 def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
                n_iter, allow_backward, ref_z=None, path_bounds=None,
-               angle_thr=None, n_per_w=None):
+               angle_thr=None, n_per_w=None, n_legs=None):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
     n = xp.shape[0]
     n_surf = c.shape[0]
     w = mu.shape[1]
@@ -667,13 +719,17 @@ def _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
     ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    n_out = (11 if full else 9) if penalties else 6
+    n_out = 11 if full else (7 if opl_mode else (9 if penalties else 6))
     out_shapes = (
         [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 4
         + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.bool_)] * 2
         + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * (n_out - 6))
-    ref_in = ([jnp.reshape(ref_z, (1, -1)).astype(jnp.float32)]
-              if full else [])
+    if full:
+        ref_in = [jnp.reshape(ref_z, (1, -1)).astype(jnp.float32)]
+    elif opl_mode:
+        ref_in = [n_legs.astype(jnp.float32)]       # (S+1, W) SMEM table
+    else:
+        ref_in = []
 
     outs = pl.pallas_call(
         partial(_fwd_kernel_a, n_surf, w, rows, n_asph, penalties, n_iter,
@@ -702,10 +758,16 @@ def _run_bwd_a(residuals, cotangents, rows, penalties, n_iter,
                allow_backward, path_bounds=None, angle_thr=None,
                n_per_w=None):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    n_legs = dopl = None
     if full:
         xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z = residuals
         (dx, dy, dcx, dcy, _dok, _dbw,
          dpth, dptp, dpz, dppath, dpang) = cotangents
+    elif opl_mode:
+        xp, yp, cy, z0, c, kappa, t, mu, asph, n_legs = residuals
+        dx, dy, dcx, dcy, _dok, _dbw, dopl = cotangents
+        ref_z = dpth = dptp = dpz = dppath = dpang = None
     elif penalties:
         xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
@@ -725,7 +787,12 @@ def _run_bwd_a(residuals, cotangents, rows, penalties, n_iter,
     xp2, yp2, cy2 = as2d(xp), as2d(yp), as2d(cy)
     dx2, dy2 = as2d(dx), as2d(dy)
     dcx2, dcy2 = as2d(dcx), as2d(dcy)
-    pen_in = [as2d(dpth), as2d(dptp), as2d(dpz)] if penalties else []
+    if opl_mode:
+        pen_in = [as2d(dopl)]
+    elif penalties:
+        pen_in = [as2d(dpth), as2d(dptp), as2d(dpz)]
+    else:
+        pen_in = []
     if full:
         pen_in += [as2d(dppath), as2d(dpang)]
     n_rows = xp2.shape[0]
@@ -763,6 +830,11 @@ def _run_bwd_a(residuals, cotangents, rows, penalties, n_iter,
         out_shape.append(jax.ShapeDtypeStruct((1, n_surf + 1), jnp.float32))
         out_specs.append(scalar_tile((n_surf + 1,)))
         ref_in = [jnp.reshape(ref_z, (1, -1)).astype(jnp.float32)]
+    elif opl_mode:
+        out_shape.append(
+            jax.ShapeDtypeStruct((1, n_surf + 1, w), jnp.float32))  # dn_legs
+        out_specs.append(scalar_tile((n_surf + 1, w)))
+        ref_in = [n_legs.astype(jnp.float32)]
     scratch = [pltpu.VMEM((n_surf, rows, LANES), jnp.float32)
                for _ in range(6)]
     scratch.append(pltpu.VMEM((n_surf, rows, LANES), jnp.bool_))
@@ -793,6 +865,8 @@ def _run_bwd_a(residuals, cotangents, rows, penalties, n_iter,
              dasph[0])
     if full:
         grads = grads + (outs[9][0].reshape(jnp.shape(ref_z)),)
+    elif opl_mode:
+        grads = grads + (outs[9][0].reshape(jnp.shape(n_legs)),)
     return grads
 
 
@@ -833,8 +907,35 @@ def _fused_full_bwd_a(rows, n_iter, allow_backward, path_bounds, angle_thr,
                       n_per_w=n_per_w)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def trace_fused_asphere_opl(xp, yp, cy, z0, c, kappa, t, mu, asph, n_legs,
+                            rows=DEFAULT_ROWS, n_iter=NEWTON_ITERS,
+                            allow_backward=True, n_per_w=None):
+    """``trace_fused_asphere`` with the in-kernel optical-path-length
+    accumulator — the conic/asphere analogue of
+    ``pallas_trace.trace_fused_opl`` (same ``n_legs`` (S+1, W) contract,
+    launch plane-wave phase added host-side). Returns the 6 trace outputs
+    plus ``opl`` (N,)."""
+    return _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "opl",
+                      n_iter, allow_backward, n_per_w=n_per_w, n_legs=n_legs)
+
+
+def _fused_opl_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, n_legs, rows,
+                     n_iter, allow_backward, n_per_w):
+    out = _run_fwd_a(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "opl",
+                     n_iter, allow_backward, n_per_w=n_per_w, n_legs=n_legs)
+    return out, (xp, yp, cy, z0, c, kappa, t, mu, asph, n_legs)
+
+
+def _fused_opl_bwd_a(rows, n_iter, allow_backward, n_per_w, residuals,
+                     cotangents):
+    return _run_bwd_a(residuals, cotangents, rows, "opl", n_iter,
+                      allow_backward, n_per_w=n_per_w)
+
+
 trace_fused_asphere.defvjp(_fused_fwd_a, _fused_bwd_a)
 trace_fused_asphere_full.defvjp(_fused_full_fwd_a, _fused_full_bwd_a)
+trace_fused_asphere_opl.defvjp(_fused_opl_fwd_a, _fused_opl_bwd_a)
 
 
 # ---------------------------------------------------------------------------
@@ -865,11 +966,16 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
                    *refs):
     from torchoptics_tpu.ops.pallas_batch import _mu_of_batch, _widx_batch
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    lu = bool(penalties) and not opl_mode
     if full:
         ref_ref, xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out, ppath_out, pang_out) = outs
-    elif penalties:
+    elif opl_mode:
+        n_ref, xp_ref, yp_ref, cy_ref, *outs = refs
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out, opl_out) = outs
+    elif lu:
         xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out) = outs
@@ -892,6 +998,7 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
     pen_z = jnp.zeros_like(x)
     pen_path = jnp.zeros_like(x)
     pen_ang = jnp.zeros_like(x)
+    opl = jnp.zeros_like(x)
     z_prev = None
 
     for k in range(n_surf):
@@ -899,6 +1006,10 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
         (x, y, z, cx, cy, cz, ok2), loc = _fwd_surface_a(
             c_ref[0, 0, k], kap_ref[0, 0, k], t_ref[0, 0, k], mu,
             a_view, k, n_asph, x, y, z, cx, cy, cz, ok, n_iter)
+        if opl_mode:
+            # OPL leg k in the medium before surface k (see
+            # pallas_batch._fwd_kernel_b's opl mode).
+            opl = opl + loc["dist"] * _mu_of_batch(n_ref, k, widx, w)
         if k > 0:
             went_bw = ((loc["delta_z"] < 0) & loc["ok1"]
                        & (mask_ref[0, 0, k - 1] > 0))
@@ -911,7 +1022,7 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
         # Padding surfaces contribute nothing to the penalties (see
         # `pallas_batch._fwd_kernel_b` / `simulator.compute_loss_out`).
         valid_k = mask_ref[0, 0, k] > 0
-        if penalties:
+        if lu:
             pen_th = pen_th + jnp.where(
                 valid_k, _theta_norm(loc["cos2"], ok), 0.0)
             pen_tp = pen_tp + jnp.where(
@@ -935,6 +1046,9 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
     dist = delta_z / cz
     x = x + dist * cx
     y = y + dist * cy
+    if opl_mode:
+        # Final leg: last surface -> image plane, in image-space n_ref[S].
+        opl = opl + dist * _mu_of_batch(n_ref, n_surf, widx, w)
     last_real = mask_ref[0, 0, n_surf - 1] > 0
     if allow_backward:
         bw = bw | ((delta_z < 0) & ok & last_real)
@@ -947,13 +1061,15 @@ def _fwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
     cy_out[...] = cy
     ok_out[...] = ok
     bw_out[...] = bw
-    if penalties:
+    if lu:
         pth_out[...] = pen_th
         ptp_out[...] = pen_tp
         pz_out[...] = pen_z
     if full:
         ppath_out[...] = pen_path
         pang_out[...] = pen_ang
+    if opl_mode:
+        opl_out[...] = opl
 
 
 def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
@@ -962,6 +1078,8 @@ def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
                    *rest):
     from torchoptics_tpu.ops.pallas_batch import _mu_of_batch, _widx_batch
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    lu = bool(penalties) and not opl_mode
     ref_ref = None
     if full:
         (ref_ref, xp_ref, yp_ref, cyin_ref,
@@ -971,7 +1089,15 @@ def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
          dmu_out, da_out, dref_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
          st_locf, st_locb) = rest
-    elif penalties:
+    elif opl_mode:
+        (n_ref, xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dopl_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
+         dmu_out, da_out, dn_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
+        dpth_ref = dptp_ref = dpz_ref = None
+    elif lu:
         (xp_ref, yp_ref, cyin_ref,
          dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dkap_out, dt_out,
@@ -1027,6 +1153,11 @@ def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
     dcx = dcx_ref[...] + dx_img * dist_f
     dcy = dcy_ref[...] + dy_img * dist_f
     ddist = dx_img * cx + dy_img * cy
+    dopl = None
+    if opl_mode:
+        # opl += dist_f * n_S: inject into the final-leg distance adjoint.
+        dopl = dopl_ref[...]
+        ddist = ddist + dopl * _mu_of_batch(n_ref, n_surf, widx, w)
     dz = -ddist / cz
     dcz = ddist * (z / (cz * cz))
     dx = dx_img
@@ -1046,8 +1177,17 @@ def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
         if full:
             for k in range(n_surf + 1):
                 dref_out[0, 0, k] = 0.0
+        if opl_mode:
+            for k in range(n_surf + 1):
+                for wi in range(w):
+                    dn_out[0, 0, k, wi] = 0.0
 
-    if penalties:
+    if opl_mode:
+        for wi in range(w):
+            dn_out[0, 0, n_surf, wi] += jnp.sum(
+                jnp.where(widx == wi, dopl * dist_f, 0.0))
+
+    if lu:
         dpth = dpth_ref[...]
         dptp = dptp_ref[...]
         dpz = dpz_ref[...]
@@ -1078,10 +1218,16 @@ def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
         if not allow_backward and k > 0:
             kill = ((loc["dist"] * st_cz[k] < 0) & loc["ok1"]
                     & (mask_ref[0, 0, k - 1] > 0))
-        dcos2_extra = dcos2p_extra = None
+        dcos2_extra = dcos2p_extra = ddist_extra = None
         # Adjoint of the forward's padding-surface masking.
         valid_k = mask_ref[0, 0, k] > 0
-        if penalties:
+        if opl_mode:
+            # opl += dist_k * n_k (pre-kill accumulation in the forward).
+            ddist_extra = dopl * _mu_of_batch(n_ref, k, widx, w)
+            for wi in range(w):
+                dn_out[0, 0, k, wi] += jnp.sum(
+                    jnp.where(widx == wi, dopl * loc["dist"], 0.0))
+        if lu:
             ok_end = loc["ok2"]
             if kill is not None:
                 ok_end = ok_end & ~kill
@@ -1118,7 +1264,8 @@ def _bwd_kernel_ab(n_surf, w, rows, n_asph, penalties, n_iter,
          da_k) = _bwd_surface_a(
             c_ref[0, 0, k], kap_ref[0, 0, k], t_ref[0, 0, k], mu,
             a_view, k, n_asph, pre, loc,
-            (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra)
+            (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra,
+            ddist_extra)
         if dt_kill is not None:
             dt_k = dt_k + dt_kill
         dc_out[0, 0, k] += dc_k
@@ -1155,10 +1302,11 @@ def trace_fused_asphere_batch(xp, yp, cy, z0, c, kappa, t, mu, asph,
 
 def _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
                 n_iter, allow_backward, mask, ref_z=None, path_bounds=None,
-                angle_thr=None, n_per_w=None):
+                angle_thr=None, n_per_w=None, n_legs=None):
     from torchoptics_tpu.ops.pallas_batch import (
         _mask_array, _prep, _specs_common, auto_rows)
     full = penalties == "full"
+    opl_mode = penalties == "opl"
     B, n = xp.shape
     if rows is None:
         rows = auto_rows(n)
@@ -1177,21 +1325,30 @@ def _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, penalties,
                           memory_space=pltpu.SMEM)
     ref_spec = pl.BlockSpec((1, 1, n_surf + 1), lambda b, i: (b, 0, 0),
                             memory_space=pltpu.SMEM)
-    n_out = (11 if full else 9) if penalties else 6
+    nlegs_spec = pl.BlockSpec((1, 1, n_surf + 1, w),
+                              lambda b, i: (b, 0, 0, 0),
+                              memory_space=pltpu.SMEM)
+    n_out = 11 if full else (7 if opl_mode else (9 if penalties else 6))
     out_shapes = (
         [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32)] * 4
         + [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.bool_)] * 2
         + [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32)]
         * (n_out - 6))
-    ref_in = ([ref_z.reshape(B, 1, -1).astype(jnp.float32)]
-              if full else [])
+    if full:
+        ref_in = [ref_z.reshape(B, 1, -1).astype(jnp.float32)]
+        ref_specs = [ref_spec]
+    elif opl_mode:
+        ref_in = [n_legs[:, None].astype(jnp.float32)]   # (B, 1, S+1, W)
+        ref_specs = [nlegs_spec]
+    else:
+        ref_in, ref_specs = [], []
 
     outs = pl.pallas_call(
         partial(_fwd_kernel_ab, n_surf, w, rows, n_asph, penalties, n_iter,
                 allow_backward, path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec,
-                  ct_spec] + [ref_spec] * len(ref_in)
+                  ct_spec] + ref_specs
         + [ray_spec, ray_spec, ray_spec],
         out_specs=tuple([ray_spec] * n_out),
         out_shape=tuple(out_shapes),
@@ -1219,10 +1376,16 @@ def _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
     from torchoptics_tpu.ops.pallas_batch import (
         _mask_array, _prep, _specs_common, auto_rows)
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    n_legs = dopl = None
     if full:
         xp, yp, cy, z0, c, kappa, t, mu, asph, ref_z = residuals
         (dx, dy, dcx, dcy, _dok, _dbw,
          dpth, dptp, dpz, dppath, dpang) = cotangents
+    elif opl_mode:
+        xp, yp, cy, z0, c, kappa, t, mu, asph, n_legs = residuals
+        dx, dy, dcx, dcy, _dok, _dbw, dopl = cotangents
+        ref_z = dpth = dptp = dpz = dppath = dpang = None
     elif penalties:
         xp, yp, cy, z0, c, kappa, t, mu, asph = residuals
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
@@ -1241,7 +1404,12 @@ def _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
     prep = lambda a: _prep(a.astype(jnp.float32), rows)
     xp2, yp2, cy2 = prep(xp), prep(yp), prep(cy)
     dx2, dy2, dcx2, dcy2 = prep(dx), prep(dy), prep(dcx), prep(dcy)
-    pen_in = [prep(dpth), prep(dptp), prep(dpz)] if penalties else []
+    if opl_mode:
+        pen_in = [prep(dopl)]
+    elif penalties:
+        pen_in = [prep(dpth), prep(dptp), prep(dpz)]
+    else:
+        pen_in = []
     if full:
         pen_in += [prep(dppath), prep(dpang)]
     n_rows = xp2.shape[1]
@@ -1253,6 +1421,9 @@ def _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
                           memory_space=pltpu.SMEM)
     ref_spec = pl.BlockSpec((1, 1, n_surf + 1), lambda b, i: (b, 0, 0),
                             memory_space=pltpu.SMEM)
+    nlegs_spec = pl.BlockSpec((1, 1, n_surf + 1, w),
+                              lambda b, i: (b, 0, 0, 0),
+                              memory_space=pltpu.SMEM)
     out_shape = [
         jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
@@ -1266,12 +1437,19 @@ def _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
     ]
     out_specs = [ray_spec, ray_spec, ray_spec,
                  z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec]
-    ref_in = []
+    ref_in, ref_specs = [], []
     if full:
         out_shape.append(
             jax.ShapeDtypeStruct((B, 1, n_surf + 1), jnp.float32))
         out_specs.append(ref_spec)
         ref_in = [ref_z.reshape(B, 1, -1).astype(jnp.float32)]
+        ref_specs = [ref_spec]
+    elif opl_mode:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, 1, n_surf + 1, w), jnp.float32))
+        out_specs.append(nlegs_spec)
+        ref_in = [n_legs[:, None].astype(jnp.float32)]
+        ref_specs = [nlegs_spec]
     scratch = [pltpu.VMEM((n_surf, 1, rows, LANES), jnp.float32)
                for _ in range(6)]
     scratch.append(pltpu.VMEM((n_surf, 1, rows, LANES), jnp.bool_))
@@ -1285,7 +1463,7 @@ def _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
                 allow_backward, path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[z0_spec, ct_spec, ct_spec, ct_spec, mu_spec, a_spec,
-                  ct_spec] + [ref_spec] * len(ref_in)
+                  ct_spec] + ref_specs
         + [ray_spec, ray_spec, ray_spec,
            ray_spec, ray_spec, ray_spec, ray_spec]
         + [ray_spec] * len(pen_in),
@@ -1305,6 +1483,8 @@ def _run_bwd_ab(residuals, cotangents, rows, penalties, n_iter,
              dmu[:, 0], dasph[:, 0])
     if full:
         grads = grads + (outs[9][:, 0].reshape(jnp.shape(ref_z)),)
+    elif opl_mode:
+        grads = grads + (outs[9][:, 0].reshape(jnp.shape(n_legs)),)
     return grads
 
 
@@ -1344,9 +1524,38 @@ def _fused_full_bwd_ab(rows, n_iter, allow_backward, mask, path_bounds,
                        n_per_w=n_per_w)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def trace_fused_asphere_batch_opl(xp, yp, cy, z0, c, kappa, t, mu, asph,
+                                  n_legs, rows=BATCH_ROWS,
+                                  n_iter=NEWTON_ITERS, allow_backward=True,
+                                  mask=None, n_per_w=None):
+    """``trace_fused_asphere_batch`` with the in-kernel optical-path-length
+    accumulator (``n_legs`` (B, S+1, W); see
+    ``pallas_batch.trace_fused_batch_opl``). Returns the 6 trace outputs
+    plus ``opl`` (B, N)."""
+    return _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "opl",
+                       n_iter, allow_backward, mask, n_per_w=n_per_w,
+                       n_legs=n_legs)
+
+
+def _fused_opl_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, n_legs, rows,
+                      n_iter, allow_backward, mask, n_per_w):
+    out = _run_fwd_ab(xp, yp, cy, z0, c, kappa, t, mu, asph, rows, "opl",
+                      n_iter, allow_backward, mask, n_per_w=n_per_w,
+                      n_legs=n_legs)
+    return out, (xp, yp, cy, z0, c, kappa, t, mu, asph, n_legs)
+
+
+def _fused_opl_bwd_ab(rows, n_iter, allow_backward, mask, n_per_w,
+                      residuals, cotangents):
+    return _run_bwd_ab(residuals, cotangents, rows, "opl", n_iter,
+                       allow_backward, mask, n_per_w=n_per_w)
+
+
 trace_fused_asphere_batch.defvjp(_fused_fwd_ab, _fused_bwd_ab)
 trace_fused_asphere_batch_full.defvjp(_fused_full_fwd_ab,
                                       _fused_full_bwd_ab)
+trace_fused_asphere_batch_opl.defvjp(_fused_opl_fwd_ab, _fused_opl_bwd_ab)
 
 
 def trace_rays_fused_asphere_batch(specs, lens, config,
@@ -1412,6 +1621,84 @@ def trace_rays_fused_asphere(specs, lens, config,
         config.allow_backward_rays,
         F * P if w_order == "outer" else None)
     return package_fused_result(outs, shape, penalties, w_order)
+
+
+def optical_paths_fused_asphere_batch(specs, lens, config,
+                                      key: Optional[jax.Array] = None,
+                                      xy=None, rows=BATCH_ROWS,
+                                      use_vig: bool = True):
+    """``ops.wavefront.optical_path_lengths`` on the batched conic/asphere
+    kernel (B ≥ 1, f32): returns (TraceResult, OPL) with OPL (B, F, P, W)
+    in mm, launch plane-wave phase included — the population analogue of
+    :func:`optical_paths_fused_asphere`."""
+    from torchoptics_tpu.ops.pallas_batch import (
+        _static_mask, package_fused_result_batch, prepare_fused_inputs_batch)
+    from torchoptics_tpu.ops.pallas_trace import _wouter_ok
+
+    assert lens.kappa is not None and lens.asph is not None, (
+        "asphere OPL kernel expects kappa/asph; use pallas_batch for spheres")
+    assert not config.double_precision, (
+        "fused kernels are float32; double_precision needs ops.trace")
+    n = lens.get_refractive_indices(config.wavelengths)      # (B, S, W)
+    n_legs = jnp.concatenate((jnp.ones_like(n[:, :1, :]), n),
+                             axis=1)                         # (B, S+1, W)
+    w_order = "outer" if _wouter_ok(xy) else "inner"
+    xpb, ypb, cyb, z0, mu, shape = prepare_fused_inputs_batch(
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig,
+        w_order=w_order)
+    B, F, P, W = shape
+    outs = trace_fused_asphere_batch_opl(
+        xpb, ypb, cyb, z0, lens.c, lens.kappa, lens.t, mu, lens.asph,
+        n_legs, rows, config.newton_iters, config.allow_backward_rays,
+        _static_mask(lens.structure),
+        F * P if w_order == "outer" else None)
+    res = package_fused_result_batch(outs[:6], shape, False, w_order)
+    opl_flat = outs[6] + ypb * cyb
+    if w_order == "outer":
+        opl = jnp.transpose(opl_flat.reshape(B, W, F, P), (0, 2, 3, 1))
+    else:
+        opl = opl_flat.reshape(shape)
+    return res, opl
+
+
+def optical_paths_fused_asphere(specs, lens, config,
+                                key: Optional[jax.Array] = None,
+                                xy=None, rows: int = DEFAULT_ROWS,
+                                use_vig: bool = True):
+    """``ops.wavefront.optical_path_lengths`` on the fused conic/asphere
+    kernel (B == 1, f32): returns (TraceResult, OPL) with OPL (1, F, P, W)
+    in mm, launch plane-wave phase included — the asphere analogue of
+    ``pallas_trace.optical_paths_fused`` (per-surface distance stacks never
+    touch HBM; differentiable through c, kappa, t, asph and dispersion)."""
+    from torchoptics_tpu.ops.pallas_trace import (
+        _assert_fused_config, _wouter_ok, compress_padded_tail,
+        package_fused_result)
+
+    assert lens.kappa is not None and lens.asph is not None, (
+        "asphere OPL kernel expects kappa/asph; use pallas_trace for spheres")
+    lens = compress_padded_tail(lens)
+    _assert_fused_config(lens, config)
+    n = lens.get_refractive_indices(config.wavelengths)      # (1, S, W)
+    n_legs = jnp.concatenate((jnp.ones_like(n[:, :1, :]), n),
+                             axis=1)[0]                      # (S+1, W)
+    from torchoptics_tpu.ops.pallas_trace import prepare_fused_inputs
+    w_order = "outer" if _wouter_ok(xy) else "inner"
+    xp, yp, cyb, z0, mu, shape = prepare_fused_inputs(
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig,
+        w_order=w_order)
+    _, F, P, W = shape
+    outs = trace_fused_asphere_opl(
+        xp, yp, cyb, z0, lens.c[0], lens.kappa[0], lens.t[0], mu,
+        lens.asph[0], n_legs, rows, config.newton_iters,
+        config.allow_backward_rays, F * P if w_order == "outer" else None)
+    res = package_fused_result(outs[:6], shape, False, w_order)
+    # Plane-wave launch phase y_p·sin(u) (see pallas_trace.optical_paths_fused).
+    opl_flat = outs[6] + yp * cyb
+    if w_order == "outer":
+        opl = jnp.transpose(opl_flat.reshape(W, F, P), (1, 2, 0))[None]
+    else:
+        opl = opl_flat.reshape(shape)
+    return res, opl
 
 
 def compute_losses_fused_asphere(specs, lens, config,

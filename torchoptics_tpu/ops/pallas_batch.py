@@ -67,11 +67,16 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
                   angle_thr, n_per_w, z0_ref, c_ref, t_ref, mu_ref, mask_ref,
                   *refs):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    lu = bool(penalties) and not opl_mode
     if full:
         ref_ref, xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out, ppath_out, pang_out) = outs
-    elif penalties:
+    elif opl_mode:
+        n_ref, xp_ref, yp_ref, cy_ref, *outs = refs
+        (x_out, y_out, cx_out, cy_out, ok_out, bw_out, opl_out) = outs
+    elif lu:
         xp_ref, yp_ref, cy_ref, *outs = refs
         (x_out, y_out, cx_out, cy_out, ok_out, bw_out,
          pth_out, ptp_out, pz_out) = outs
@@ -93,12 +98,18 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
     pen_z = jnp.zeros_like(x)
     pen_path = jnp.zeros_like(x)
     pen_ang = jnp.zeros_like(x)
+    opl = jnp.zeros_like(x)
     z_prev = None
 
     for k in range(n_surf):
         mu = _mu_of_batch(mu_ref, k, widx, w)
         (x, y, z, cx, cy, cz, ok2), loc = _fwd_surface(
             c_ref[0, 0, k], t_ref[0, 0, k], mu, x, y, z, cx, cy, cz, ok)
+        if opl_mode:
+            # OPL leg k travels in the medium BEFORE surface k, n_ref[k]
+            # (see pallas_trace._fwd_kernel's opl mode; padded gaps carry
+            # n = 1 and zero-length legs, matching the XLA "dist" path).
+            opl = opl + loc["dist"] * _mu_of_batch(n_ref, k, widx, w)
         if k > 0:
             # Backward bookkeeping skips dummy (padded) previous surfaces —
             # per-system mask rides in SMEM (`ray_tracing_lite.py:625-632`).
@@ -115,7 +126,7 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
         # way (`simulator.compute_loss_out` surface_mask; the reference
         # traces each sample at natural length, `optical_loss.py:105-111`).
         valid_k = mask_ref[0, 0, k] > 0
-        if penalties:
+        if lu:
             pen_th = pen_th + jnp.where(
                 valid_k, _theta_norm(loc["cos2"], ok), 0.0)
             pen_tp = pen_tp + jnp.where(
@@ -142,6 +153,9 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
     dist = delta_z / cz
     x = x + dist * cx
     y = y + dist * cy
+    if opl_mode:
+        # Final leg: last surface -> image plane, in image-space n_ref[S].
+        opl = opl + dist * _mu_of_batch(n_ref, n_surf, widx, w)
     last_real = mask_ref[0, 0, n_surf - 1] > 0
     if allow_backward:
         bw = bw | ((delta_z < 0) & ok & last_real)
@@ -154,19 +168,23 @@ def _fwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
     cy_out[...] = cy
     ok_out[...] = ok
     bw_out[...] = bw
-    if penalties:
+    if lu:
         pth_out[...] = pen_th
         ptp_out[...] = pen_tp
         pz_out[...] = pen_z
     if full:
         ppath_out[...] = pen_path
         pang_out[...] = pen_ang
+    if opl_mode:
+        opl_out[...] = opl
 
 
 def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
                   angle_thr, n_per_w, z0_ref, c_ref, t_ref, mu_ref, mask_ref,
                   *rest):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    lu = bool(penalties) and not opl_mode
     ref_ref = None
     if full:
         (ref_ref, xp_ref, yp_ref, cyin_ref,
@@ -176,7 +194,15 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
          dref_out,
          st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
          st_locf, st_locb) = rest
-    elif penalties:
+    elif opl_mode:
+        (n_ref, xp_ref, yp_ref, cyin_ref,
+         dx_ref, dy_ref, dcx_ref, dcy_ref, dopl_ref,
+         dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
+         dn_out,
+         st_x, st_y, st_z, st_cx, st_cy, st_cz, st_ok,
+         st_locf, st_locb) = rest
+        dpth_ref = dptp_ref = dpz_ref = None
+    elif lu:
         (xp_ref, yp_ref, cyin_ref,
          dx_ref, dy_ref, dcx_ref, dcy_ref, dpth_ref, dptp_ref, dpz_ref,
          dxp_out, dyp_out, dcyin_out, dz0_out, dc_out, dt_out, dmu_out,
@@ -228,6 +254,11 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
     dcx = dcx_ref[...] + dx_img * dist_f
     dcy = dcy_ref[...] + dy_img * dist_f
     ddist = dx_img * cx + dy_img * cy
+    dopl = None
+    if opl_mode:
+        # opl += dist_f * n_S: inject into the final-leg distance adjoint.
+        dopl = dopl_ref[...]
+        ddist = ddist + dopl * _mu_of_batch(n_ref, n_surf, widx, w)
     dz = -ddist / cz
     dcz = ddist * (z / (cz * cz))
     dx = dx_img
@@ -244,8 +275,17 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
         if full:
             for k in range(n_surf + 1):
                 dref_out[0, 0, k] = 0.0
+        if opl_mode:
+            for k in range(n_surf + 1):
+                for wi in range(w):
+                    dn_out[0, 0, k, wi] = 0.0
 
-    if penalties:
+    if opl_mode:
+        for wi in range(w):
+            dn_out[0, 0, n_surf, wi] += jnp.sum(
+                jnp.where(widx == wi, dopl * dist_f, 0.0))
+
+    if lu:
         dpth = dpth_ref[...]
         dptp = dptp_ref[...]
         dpz = dpz_ref[...]
@@ -276,11 +316,17 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
         if not allow_backward and k > 0:
             kill = ((loc["dist"] * st_cz[k] < 0) & loc["ok1"]
                     & (mask_ref[0, 0, k - 1] > 0))
-        dcos2_extra = dcos2p_extra = None
+        dcos2_extra = dcos2p_extra = ddist_extra = None
         # Adjoint of the forward's padding-surface masking: no penalty
         # cotangent flows through padded surfaces.
         valid_k = mask_ref[0, 0, k] > 0
-        if penalties:
+        if opl_mode:
+            # opl += dist_k * n_k (pre-kill accumulation in the forward).
+            ddist_extra = dopl * _mu_of_batch(n_ref, k, widx, w)
+            for wi in range(w):
+                dn_out[0, 0, k, wi] += jnp.sum(
+                    jnp.where(widx == wi, dopl * loc["dist"], 0.0))
+        if lu:
             ok_end = loc["ok1"] & ~loc["fail2"]
             if kill is not None:
                 ok_end = ok_end & ~kill
@@ -316,7 +362,8 @@ def _bwd_kernel_b(n_surf, w, rows, penalties, allow_backward, path_bounds,
             dcz = jnp.where(kill, 0.0, dcz)
         (dx, dy, dz, dcx, dcy, dcz), dc_ray, dt_ray, dmu_ray = _bwd_surface(
             c_ref[0, 0, k], t_ref[0, 0, k], mu, pre, loc,
-            (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra)
+            (dx, dy, dz, dcx, dcy, dcz), dcos2_extra, dcos2p_extra,
+            ddist_extra)
         dc_k = jnp.sum(dc_ray)
         dt_k = jnp.sum(dt_ray)
         if dt_kill is not None:
@@ -378,6 +425,37 @@ def trace_fused_batch_full(xp, yp, cy, z0, c, t, mu, ref_z,
                       n_per_w=n_per_w)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def trace_fused_batch_opl(xp, yp, cy, z0, c, t, mu, n_legs,
+                          rows=DEFAULT_ROWS, allow_backward=True, mask=None,
+                          n_per_w=None):
+    """``trace_fused_batch`` with the in-kernel optical-path-length
+    accumulator — the population analogue of
+    ``pallas_trace.trace_fused_opl``. ``n_legs`` is the differentiable
+    (B, S+1, W) per-leg refractive-index table (air row first; padded gaps
+    carry n = 1 and zero-length legs, so they contribute nothing — the XLA
+    "dist"-aggregate semantics). Returns the 6 trace outputs plus ``opl``
+    (B, N); launch plane-wave phase is added host-side."""
+    return _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, "opl", allow_backward,
+                      mask, n_per_w=n_per_w, n_legs=n_legs)
+
+
+def _fused_opl_fwd_b(xp, yp, cy, z0, c, t, mu, n_legs, rows, allow_backward,
+                     mask, n_per_w):
+    out = _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, "opl", allow_backward,
+                     mask, n_per_w=n_per_w, n_legs=n_legs)
+    return out, (xp, yp, cy, z0, c, t, mu, n_legs)
+
+
+def _fused_opl_bwd_b(rows, allow_backward, mask, n_per_w, residuals,
+                     cotangents):
+    return _run_bwd_b(residuals, cotangents, rows, "opl", allow_backward,
+                      mask, n_per_w=n_per_w)
+
+
+trace_fused_batch_opl.defvjp(_fused_opl_fwd_b, _fused_opl_bwd_b)
+
+
 def _mask_array(mask, B, n_surf):
     if mask is None:
         return jnp.ones((B, 1, n_surf), jnp.float32)
@@ -410,8 +488,9 @@ def _specs_common(rows, n_surf, w, n_rows):
 
 def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
                mask, ref_z=None, path_bounds=None, angle_thr=None,
-               n_per_w=None):
+               n_per_w=None, n_legs=None):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
     B, n = xp.shape
     if rows is None:
         rows = auto_rows(n)
@@ -425,7 +504,7 @@ def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
 
     ray_spec, z0_spec, ct_spec, mu_spec = _specs_common(
         rows, n_surf, w, n_rows)
-    n_out = (11 if full else 9) if penalties else 6
+    n_out = 11 if full else (7 if opl_mode else (9 if penalties else 6))
     out_shapes = (
         [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32)] * 4
         + [jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.bool_)] * 2
@@ -433,14 +512,24 @@ def _run_fwd_b(xp, yp, cy, z0, c, t, mu, rows, penalties, allow_backward,
         * (n_out - 6))
     ref_spec = pl.BlockSpec((1, 1, n_surf + 1), lambda b, i: (b, 0, 0),
                             memory_space=pltpu.SMEM)
-    ref_in = ([ref_z.reshape(B, 1, -1).astype(jnp.float32)] if full else [])
+    nlegs_spec = pl.BlockSpec((1, 1, n_surf + 1, w),
+                              lambda b, i: (b, 0, 0, 0),
+                              memory_space=pltpu.SMEM)
+    if full:
+        ref_in = [ref_z.reshape(B, 1, -1).astype(jnp.float32)]
+        ref_specs = [ref_spec]
+    elif opl_mode:
+        ref_in = [n_legs[:, None].astype(jnp.float32)]   # (B, 1, S+1, W)
+        ref_specs = [nlegs_spec]
+    else:
+        ref_in, ref_specs = [], []
 
     outs = pl.pallas_call(
         partial(_fwd_kernel_b, n_surf, w, rows, penalties, allow_backward,
                 path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[z0_spec, ct_spec, ct_spec, mu_spec, ct_spec]
-        + [ref_spec] * len(ref_in) + [ray_spec, ray_spec, ray_spec],
+        + ref_specs + [ray_spec, ray_spec, ray_spec],
         out_specs=tuple([ray_spec] * n_out),
         out_shape=tuple(out_shapes),
     )(z0.reshape(-1, 1, 1).astype(jnp.float32),
@@ -469,10 +558,16 @@ def _fused_full_fwd_b(xp, yp, cy, z0, c, t, mu, ref_z, rows, allow_backward,
 def _run_bwd_b(residuals, cotangents, rows, penalties, allow_backward,
                mask, path_bounds=None, angle_thr=None, n_per_w=None):
     full = penalties == "full"
+    opl_mode = penalties == "opl"
+    n_legs = dopl = None
     if full:
         xp, yp, cy, z0, c, t, mu, ref_z = residuals
         (dx, dy, dcx, dcy, _dok, _dbw,
          dpth, dptp, dpz, dppath, dpang) = cotangents
+    elif opl_mode:
+        xp, yp, cy, z0, c, t, mu, n_legs = residuals
+        dx, dy, dcx, dcy, _dok, _dbw, dopl = cotangents
+        ref_z = dpth = dptp = dpz = dppath = dpang = None
     elif penalties:
         xp, yp, cy, z0, c, t, mu = residuals
         dx, dy, dcx, dcy, _dok, _dbw, dpth, dptp, dpz = cotangents
@@ -490,7 +585,12 @@ def _run_bwd_b(residuals, cotangents, rows, penalties, allow_backward,
     prep = lambda a: _prep(a.astype(jnp.float32), rows)
     xp2, yp2, cy2 = prep(xp), prep(yp), prep(cy)
     dx2, dy2, dcx2, dcy2 = prep(dx), prep(dy), prep(dcx), prep(dcy)
-    pen_in = [prep(dpth), prep(dptp), prep(dpz)] if penalties else []
+    if opl_mode:
+        pen_in = [prep(dopl)]
+    elif penalties:
+        pen_in = [prep(dpth), prep(dptp), prep(dpz)]
+    else:
+        pen_in = []
     if full:
         pen_in += [prep(dppath), prep(dpang)]
     n_rows = xp2.shape[1]
@@ -500,6 +600,9 @@ def _run_bwd_b(residuals, cotangents, rows, penalties, allow_backward,
         rows, n_surf, w, n_rows)
     ref_spec = pl.BlockSpec((1, 1, n_surf + 1), lambda b, i: (b, 0, 0),
                             memory_space=pltpu.SMEM)
+    nlegs_spec = pl.BlockSpec((1, 1, n_surf + 1, w),
+                              lambda b, i: (b, 0, 0, 0),
+                              memory_space=pltpu.SMEM)
     out_shape = (
         jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((B, n_rows, LANES), jnp.float32),
@@ -512,12 +615,19 @@ def _run_bwd_b(residuals, cotangents, rows, penalties, allow_backward,
     out_specs = [ray_spec, ray_spec, ray_spec, z0_spec, ct_spec, ct_spec,
                  pl.BlockSpec((1, 1, n_surf, w), lambda b, i: (b, 0, 0, 0),
                               memory_space=pltpu.SMEM)]
-    ref_in = []
+    ref_in, ref_specs = [], []
     if full:
         out_shape = out_shape + (
             jax.ShapeDtypeStruct((B, 1, n_surf + 1), jnp.float32),)
         out_specs.append(ref_spec)
         ref_in = [ref_z.reshape(B, 1, -1).astype(jnp.float32)]
+        ref_specs = [ref_spec]
+    elif opl_mode:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((B, 1, n_surf + 1, w), jnp.float32),)
+        out_specs.append(nlegs_spec)
+        ref_in = [n_legs[:, None].astype(jnp.float32)]
+        ref_specs = [nlegs_spec]
     scratch = [pltpu.VMEM((n_surf, 1, rows, LANES), jnp.float32)
                for _ in range(6)]
     scratch.append(pltpu.VMEM((n_surf, 1, rows, LANES), jnp.bool_))
@@ -531,7 +641,7 @@ def _run_bwd_b(residuals, cotangents, rows, penalties, allow_backward,
                 path_bounds, angle_thr, n_per_w),
         grid=grid,
         in_specs=[z0_spec, ct_spec, ct_spec, mu_spec, ct_spec]
-        + [ref_spec] * len(ref_in)
+        + ref_specs
         + [ray_spec, ray_spec, ray_spec,
            ray_spec, ray_spec, ray_spec, ray_spec]
         + [ray_spec] * len(pen_in),
@@ -549,6 +659,8 @@ def _run_bwd_b(residuals, cotangents, rows, penalties, allow_backward,
              dz0.reshape(jnp.shape(z0)), dc[:, 0], dt[:, 0], dmu[:, 0])
     if full:
         grads = grads + (outs[7][:, 0].reshape(jnp.shape(ref_z)),)
+    elif opl_mode:
+        grads = grads + (outs[7][:, 0].reshape(jnp.shape(n_legs)),)
     return grads
 
 
@@ -898,3 +1010,38 @@ def batched_unsupervised_loss(specs, lens, config,
             + jnp.sum(pz, axis=1)) / n_seq
     Lu = rms + config.penalty_rate * sumQ
     return jnp.mean(Lu), {"loss_unsup": Lu, "rms": rms, "penalty": sumQ}
+
+
+def optical_paths_fused_batch(specs, lens, config,
+                              key: Optional[jax.Array] = None,
+                              xy=None, rows=DEFAULT_ROWS,
+                              use_vig: bool = True):
+    """``ops.wavefront.optical_path_lengths`` on the batched spherical
+    kernel (B ≥ 1, f32): returns (TraceResult, OPL) with OPL (B, F, P, W)
+    in mm, launch plane-wave phase included — the population analogue of
+    ``pallas_trace.optical_paths_fused`` (heterogeneous padded structures
+    supported: padded legs have zero length and n = 1)."""
+    from torchoptics_tpu.ops.pallas_trace import _wouter_ok
+
+    assert lens.is_spherical, "batched fused OPL kernel is spherical"
+    assert not config.double_precision, (
+        "fused kernels are float32; double_precision needs ops.trace")
+    n = lens.get_refractive_indices(config.wavelengths)      # (B, S, W)
+    n_legs = jnp.concatenate((jnp.ones_like(n[:, :1, :]), n),
+                             axis=1)                         # (B, S+1, W)
+    w_order = "outer" if _wouter_ok(xy) else "inner"
+    xpb, ypb, cyb, z0, mu, shape = prepare_fused_inputs_batch(
+        specs, lens, config, key=key, xy=xy, use_vig=use_vig,
+        w_order=w_order)
+    B, F, P, W = shape
+    outs = trace_fused_batch_opl(
+        xpb, ypb, cyb, z0, lens.c, lens.t, mu, n_legs, rows,
+        config.allow_backward_rays, _static_mask(lens.structure),
+        F * P if w_order == "outer" else None)
+    res = package_fused_result_batch(outs[:6], shape, False, w_order)
+    opl_flat = outs[6] + ypb * cyb
+    if w_order == "outer":
+        opl = jnp.transpose(opl_flat.reshape(B, W, F, P), (0, 2, 3, 1))
+    else:
+        opl = opl_flat.reshape(shape)
+    return res, opl

@@ -56,15 +56,30 @@ def optical_path_lengths(specs: Specs, lens: Lens,
     origin (see module docstring)."""
     cfg = config
     if cfg.engine == "pallas":
-        if (len(lens) == 1 and lens.is_spherical
-                and not cfg.double_precision):
-            from torchoptics_tpu.ops import pallas_trace
-            return pallas_trace.optical_paths_fused(specs, lens, cfg,
-                                                    key=key, xy=xy)
-        raise NotImplementedError(
-            "engine='pallas' OPL covers single spherical f32 systems "
-            "(the fused in-kernel accumulator); use engine='unroll' or "
-            "'scan' for aspheres, batches, or double precision")
+        if cfg.double_precision:
+            raise NotImplementedError(
+                "engine='pallas' OPL is float32 (the fused in-kernel "
+                "accumulator); use engine='unroll' or 'scan' for double "
+                "precision")
+        if lens.is_spherical:
+            if len(lens) == 1:
+                from torchoptics_tpu.ops import pallas_trace
+                return pallas_trace.optical_paths_fused(specs, lens, cfg,
+                                                        key=key, xy=xy)
+            from torchoptics_tpu.ops import pallas_batch
+            return pallas_batch.optical_paths_fused_batch(specs, lens, cfg,
+                                                          key=key, xy=xy)
+        from torchoptics_tpu.ops import pallas_asphere
+        lens_a = lens
+        if lens_a.kappa is None:
+            lens_a = lens_a.replace(kappa=jnp.zeros_like(lens_a.c))
+        if lens_a.asph is None:
+            lens_a = lens_a.replace(asph=jnp.zeros(lens_a.c.shape + (1,)))
+        if len(lens) == 1:
+            return pallas_asphere.optical_paths_fused_asphere(
+                specs, lens_a, cfg, key=key, xy=xy)
+        return pallas_asphere.optical_paths_fused_asphere_batch(
+            specs, lens_a, cfg, key=key, xy=xy)
     if cfg.double_precision:
         # Cast HERE so the launch-point re-derivation below and the index
         # table see the same f64 values the trace computes with.
