@@ -32,6 +32,9 @@ def main():
                     help="JSON with c/t/nd/v (+kappa/asph) overriding the "
                          "zoo parameters (refine_flagship.py --save output)")
     ap.add_argument("--fields", default="0,0.45,0.707,0.88,1.0")
+    ap.add_argument("--no-vignetting", action="store_true",
+                    help="skip the aperture model (solved vignetting "
+                    "factors + relative illumination columns)")
     args = ap.parse_args()
 
     from torchoptics_tpu.utils.backend import ensure_backend
@@ -106,18 +109,56 @@ def main():
                 jnp.stack(wrms)[None])
 
     ok, rms_y, rms_xy, strehl, wrms = map(np.asarray, report(lens))
+
+    # Aperture model (VERDICT r4 #5): solve the per-field vignetting
+    # factors against the axial-beam apertures, feed them back through a
+    # vignetted trace, and report the relative illumination — the
+    # "transmission" number becomes aperture-aware instead of assuming an
+    # unobstructed pupil (reference consumes factors at
+    # `ray_tracing.py:479-490`; this build solves them).
+    vig = ri = None
+    ok_vig = float("nan")
+    if not args.no_vignetting:
+        import dataclasses
+        from torchoptics_tpu.ops import vignetting as vig_mod
+        vig = jax.jit(lambda l: vig_mod.solve_vignetting(
+            specs, l, fields, n_ray_aiming_iter=0))(lens)
+        vf = vig_mod.solved_tables_vig_fn(fields)
+        specs_v = dataclasses.replace(
+            specs, vig_up=jnp.asarray(vig["vig_up"]),
+            vig_down=jnp.asarray(vig["vig_down"]),
+            vig_x=jnp.asarray(vig["vig_x"]))
+        ri = np.asarray(jax.jit(lambda l: metrics.compute_relative_illumination(
+            specs_v, l, fields, vig_fn=vf, n_ray_aiming_iter=1))(lens))
+        cfg_v = dataclasses.replace(cfg, vig_fn=vf)
+        res_v = jax.jit(lambda l: trace.trace_rays(specs_v, l, cfg_v))(lens)
+        ok_vig = float(np.asarray(res_v.ray_ok, np.float32).mean())
+
     efl = float(lens.efl[0])
+    trans = (f"transmission={float(ok):.4f} (full pupil), "
+             f"{ok_vig:.4f} (solved vignetting)"
+             if vig is not None else f"transmission={float(ok):.4f}")
     print(f"lens={args.lens} design={args.design or 'zoo'} "
-          f"efl={efl:.4f} transmission={float(ok):.4f}")
-    print(f"{'field':>6} {'rms_y mm':>10} {'rms_xy mm':>10} "
-          f"{'wfe rms λ':>10} {'strehl(d)':>10}")
+          f"efl={efl:.4f} {trans}")
+    hdr = (f"{'field':>6} {'rms_y mm':>10} {'rms_xy mm':>10} "
+           f"{'wfe rms λ':>10} {'strehl(d)':>10}")
+    if vig is not None:
+        hdr += f" {'vig_up':>8} {'vig_dn':>8} {'vig_x':>8} {'rel_illum':>9}"
+    print(hdr)
     for i, f in enumerate(fields):
-        print(f"{f:6.3f} {rms_y[0, i]:10.5f} {rms_xy[0, i]:10.5f} "
-              f"{wrms[0, i]:10.3f} {strehl[0, i]:10.4f}")
+        row = (f"{f:6.3f} {rms_y[0, i]:10.5f} {rms_xy[0, i]:10.5f} "
+               f"{wrms[0, i]:10.3f} {strehl[0, i]:10.4f}")
+        if vig is not None:
+            row += (f" {float(vig['vig_up'][0, i]):8.4f}"
+                    f" {float(vig['vig_down'][0, i]):8.4f}"
+                    f" {float(vig['vig_x'][0, i]):8.4f}"
+                    f" {float(ri[0, i, 0]):9.4f}")
+        print(row)
     print(f"  mean {np.mean(rms_y[0]):10.5f} {np.mean(rms_xy[0]):10.5f} "
           f"{np.mean(wrms[0]):10.3f} {np.mean(strehl[0]):10.4f}")
     print("  (wfe/strehl at d-line, piston+tilt removed; strehl is only "
-          "meaningful when wfe ≲ 0.2λ)")
+          "meaningful when wfe ≲ 0.2λ; vig/rel_illum columns from the "
+          "solved axial-beam aperture model)")
 
 
 if __name__ == "__main__":

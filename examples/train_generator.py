@@ -54,13 +54,25 @@ def main():
     ap.add_argument("--lens-type", default="GA")
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--metric", default="y", choices=("y", "xy"),
+                    help="spot metric: 'y' = reference parity (blind to "
+                    "sagittal blur), 'xy' = radial 2-D (use for real runs)")
+    ap.add_argument("--engine", default=None, choices=(None, "xla", "pallas"),
+                    help="loss engine (default: pallas fused batch kernel "
+                    "on TPU, vmapped XLA off)")
+    ap.add_argument("--eval-designs", type=int, default=256,
+                    help="designs sampled for the post-training quality "
+                    "distribution (0 disables)")
     args = ap.parse_args()
 
     from torchoptics_tpu.utils.backend import ensure_backend
     ensure_backend()
     from torchoptics_tpu.loss import OpticalLoss
 
-    ol = OpticalLoss(args.lens_type, n_sampled_fields=4, n_pupil_rings=6)
+    on_tpu = jax.default_backend() == "tpu"
+    engine = args.engine or ("pallas" if on_tpu else "xla")
+    ol = OpticalLoss(args.lens_type, n_sampled_fields=4, n_pupil_rings=6,
+                     spot_metric=args.metric)
     G, S = ol.numglass, ol.numsurf
     n_out = ol.numout
 
@@ -85,13 +97,11 @@ def main():
         epd, hfov = sample_specs(key, args.batch)
         inputs = jnp.stack([epd, hfov], axis=1)
         outputs = mlp(net_params, inputs) * 0.1 + base
-
-        def single(inp, out):
-            # unsupervised_single reads epd = inputs[0:1], hfov = inputs[1]
-            return ol.unsupervised_single(inp, out, stop_idx=1)[0]
-
-        losses = jax.vmap(single)(inputs, outputs)
-        return jnp.mean(losses)
+        # engine='pallas': the whole population traces fwd+bwd in ONE fused
+        # batch kernel launch; 'xla': vmapped per-sample XLA engine.
+        lu, _, _ = ol.unsupervised(inputs, outputs, stop_idx=1,
+                                   engine=engine)
+        return lu
 
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(net)
@@ -110,6 +120,7 @@ def main():
         return net_params, opt_state, loss
 
     print(f"training {args.lens_type} generator: batch={args.batch}, "
+          f"metric={args.metric}, engine={engine}, "
           f"device={jax.devices()[0]}")
     first = loss = float("nan")
     for i in range(args.steps):
@@ -120,6 +131,53 @@ def main():
         if i % max(1, args.steps // 10) == 0:
             print(f"step {i:5d}: loss={float(loss):.5f}", flush=True)
     print(f"final loss {float(loss):.5f} (from {first:.5f})")
+
+    if args.eval_designs > 0:
+        # Design-quality distribution of the trained generator: sample
+        # specs, generate designs, snap glass to the Ohara catalog, rebuild
+        # and score both spot metrics (the paper's actual deliverable is
+        # the design distribution, not the train loss).
+        from torchoptics_tpu.models import glass as glass_mod
+        from torchoptics_tpu.ops import metrics as metrics_mod
+        from torchoptics_tpu.ops import trace as trace_mod
+
+        key, keval = jax.random.split(key)
+        epd, hfov = sample_specs(keval, args.eval_designs)
+        inputs = jnp.stack([epd, hfov], axis=1)
+        outputs = mlp(net, inputs) * 0.1 + base
+
+        catalog_g = glass_mod.default_catalog_g()
+        g = np.asarray(outputs[:, : 2 * G]).reshape(-1, 2)
+        g_snap = glass_mod.map_glass_to_closest(jnp.asarray(g), catalog_g)
+        outputs_snap = jnp.concatenate(
+            [jnp.asarray(g_snap).reshape(args.eval_designs, 2 * G),
+             outputs[:, 2 * G:]], axis=1)
+
+        specs_b, lens_b = ol.build_batch(inputs, outputs_snap, stop_idx=1)
+
+        @jax.jit
+        def score(specs_b, lens_b):
+            cfg = ol._sim_config().trace_config()
+            res = trace_mod.trace_rays(specs_b, lens_b, cfg)
+            rms_y = metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)
+            rms_xy = jnp.mean(metrics_mod.compute_spot_rms_xy(
+                res.x, res.y, res.ray_ok), axis=1)
+            frac_ok = jnp.mean(res.ray_ok.astype(jnp.float32),
+                               axis=(1, 2, 3))
+            return rms_y, rms_xy, frac_ok
+
+        rms_y, rms_xy, frac_ok = map(np.asarray, score(specs_b, lens_b))
+        valid = np.isfinite(rms_xy) & (frac_ok > 0.5)
+        print(f"\ndesign-quality distribution ({args.eval_designs} specs, "
+              f"catalog-snapped glass; {valid.mean() * 100:.0f}% trace "
+              f">50% of rays):")
+        for name, v in (("rms_y", rms_y[valid]), ("rms_xy", rms_xy[valid])):
+            if v.size == 0:
+                print(f"  {name}: no valid designs")
+                continue
+            q = np.percentile(v, (10, 50, 90))
+            print(f"  {name}  p10 {q[0]:.5f}  p50 {q[1]:.5f}  "
+                  f"p90 {q[2]:.5f}  (EFL=1 units)")
 
 
 if __name__ == "__main__":

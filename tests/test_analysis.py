@@ -95,6 +95,37 @@ def test_pallas_engine_matches_xla():
                                atol=1e-6)
 
 
+def test_refocus_compensated_tolerancing():
+    """VERDICT r4 #3: compensator='refocus' re-focuses every perturbed
+    sample before scoring; with the radial metric (refocus's own
+    objective) the compensated RMS is <= uncompensated per sample, the
+    yield improves, and the whole thing stays jittable."""
+    import dataclasses
+    specs, lens = zoo.build("tessar")
+    cfg = dataclasses.replace(CFG, spot_metric="xy")
+    tol = analysis.Tolerances(c=3e-4, t=0.03)
+    run = jax.jit(lambda comp: (lambda k: analysis.tolerance_analysis(
+        specs, lens, cfg, tol, n_samples=32, key=k,
+        compensator=comp))(jax.random.key(5)), static_argnums=0)
+    out_u = run(None)
+    out_c = run("refocus")
+    rms_u = np.asarray(out_u["rms"])
+    rms_c = np.asarray(out_c["rms"])
+    assert out_c["refocus_delta"].shape == (32,)
+    assert np.isfinite(rms_c).all()
+    # refocus minimizes the POOLED sum of squared radial deviations; the
+    # score is the mean over fields of per-field RMS — almost but not
+    # exactly the same functional, so allow a 1e-4 mm (sub-noise) slack on
+    # the per-sample inequality (observed worst gap 4.6e-5 on this seed).
+    assert np.all(rms_c <= rms_u + 1e-4), (rms_c - rms_u).max()
+    # and the compensation must actually matter on thickness perturbations
+    assert float(np.mean(rms_c[1:])) < float(np.mean(rms_u[1:]))
+    with pytest.raises(ValueError, match="compensator"):
+        analysis.tolerance_analysis(specs, lens, cfg, tol, n_samples=2,
+                                    key=jax.random.key(0),
+                                    compensator="tilt")
+
+
 def test_sensitivities_match_finite_differences():
     specs, lens = zoo.build("cooke")
     g = analysis.sensitivities(specs, lens, CFG)

@@ -60,6 +60,43 @@ def test_unsupervised_single_ga():
                                float(rms) + 0.2 * float(penalty), rtol=1e-5)
 
 
+def test_spot_metric_xy_through_optical_loss():
+    """VERDICT r4 #4: the generator bridge exposes spot_metric — the rms
+    term of the loss switches to the radial 2-D metric on both engines and
+    matches a manual compute_spot_rms_xy of the same trace."""
+    from jax.experimental.pallas import tpu as pltpu
+    from torchoptics_tpu.ops import metrics as metrics_mod
+    from torchoptics_tpu.ops import trace as trace_mod
+
+    inputs, outputs = _make_ga_sample()
+    ol_y = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)
+    ol_xy = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4,
+                        spot_metric="xy")
+    _, rms_y, pen_y = ol_y.unsupervised_single(inputs, outputs, stop_idx=1)
+    _, rms_xy, pen_xy = ol_xy.unsupervised_single(inputs, outputs,
+                                                  stop_idx=1)
+    # penalties are metric-independent; the rms term changes
+    np.testing.assert_allclose(float(pen_xy), float(pen_y), rtol=1e-6)
+    assert abs(float(rms_xy) - float(rms_y)) > 1e-7
+
+    # manual radial metric of the same trace
+    specs_b, lens_b = ol_xy.build_batch(inputs[None], outputs[None],
+                                        stop_idx=1)
+    res = trace_mod.trace_rays(specs_b, lens_b,
+                               ol_xy._sim_config().trace_config())
+    manual = float(jnp.mean(metrics_mod.compute_spot_rms_xy(
+        res.x, res.y, res.ray_ok)))
+    np.testing.assert_allclose(float(rms_xy), manual, rtol=1e-5)
+
+    # fused batch engine carries the same metric
+    inputs_b = jnp.stack([inputs, inputs])
+    outputs_b = jnp.stack([outputs, outputs])
+    with pltpu.force_tpu_interpret_mode():
+        _, rms_p, _ = ol_xy.unsupervised(inputs_b, outputs_b, stop_idx=1,
+                                         engine="pallas")
+    np.testing.assert_allclose(float(rms_p), manual, rtol=1e-4)
+
+
 def test_unsupervised_batch_vmapped():
     ol = OpticalLoss("GA", n_sampled_fields=3, n_pupil_rings=4)
     inputs, outputs = _make_ga_sample()

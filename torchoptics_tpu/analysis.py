@@ -147,7 +147,8 @@ def perturb_lens(lens: Lens, key: jax.Array, tol: Tolerances,
 def _per_sample_rms(specs: Specs, lens: Lens,
                     config: sim_mod.SimulatorConfig,
                     key: Optional[jax.Array] = None) -> jnp.ndarray:
-    """Per-system polychromatic spot RMS, (B,), on the configured engine.
+    """Per-system polychromatic spot RMS, (B,), on the configured engine
+    and ``config.spot_metric`` ('y' reference parity / 'xy' radial).
 
     ``trace_engine='pallas'`` runs the whole population in one fused batch
     launch (W-outer fast path); the XLA engines trace + reduce."""
@@ -158,6 +159,10 @@ def _per_sample_rms(specs: Specs, lens: Lens,
             specs, lens, config, key=key)
         return ld["rms"]
     res = trace_mod.trace_rays(specs, lens, cfg, key=key)
+    if config.spot_metric == "xy":
+        return jnp.mean(
+            metrics_mod.compute_spot_rms_xy(res.x, res.y, res.ray_ok),
+            axis=1)
     return metrics_mod.compute_rms2d(res.x, res.y, res.ray_ok)
 
 
@@ -167,9 +172,18 @@ def tolerance_analysis(specs: Specs, lens: Lens,
                        key: jax.Array,
                        rms_threshold: Optional[float] = None,
                        percentiles: Tuple[float, ...] = (50.0, 90.0, 99.0),
+                       compensator: Optional[str] = None,
                        ) -> Dict[str, jnp.ndarray]:
     """Monte-Carlo tolerance run: one batched fused launch over
     ``n_samples`` perturbed copies of a (B=1) design.
+
+    ``compensator='refocus'`` re-focuses every perturbed sample (the
+    closed-form least-squares image-plane shift of :func:`refocus`,
+    applied per system inside the same batched launch) before scoring —
+    the classical tolerancing convention: back-focus is the universal
+    free compensator a manufacturer always adjusts, so uncompensated
+    yields are systematically pessimistic (defocus dominates most
+    perturbations). ``None`` scores at the nominal focus.
 
     Returns a dict of device scalars/arrays:
       ``rms``            (n_samples,) per-sample spot RMS (sample 0 nominal)
@@ -177,11 +191,18 @@ def tolerance_analysis(specs: Specs, lens: Lens,
       ``mean``/``std``   moments over the perturbed samples
       ``p<q>``           requested RMS percentiles
       ``yield_fraction`` fraction with RMS <= rms_threshold (if given)
+      ``refocus_delta``  (n_samples,) applied focus shifts (compensator on)
 
-    Jittable with static ``n_samples``/``tol``/``config``.
+    Jittable with static ``n_samples``/``tol``/``config``/``compensator``.
     """
+    if compensator not in (None, "refocus"):
+        raise ValueError(f"compensator must be None or 'refocus', "
+                         f"got {compensator!r}")
     specs_n, lens_n = tile_population(specs, lens, n_samples)
     lens_p = perturb_lens(lens_n, key, tol, keep_first_nominal=True)
+    delta = None
+    if compensator == "refocus":
+        lens_p, delta = refocus(specs_n, lens_p, config)
     rms = _per_sample_rms(specs_n, lens_p, config)
     perturbed = rms[1:]
     out: Dict[str, jnp.ndarray] = {
@@ -190,6 +211,8 @@ def tolerance_analysis(specs: Specs, lens: Lens,
         "mean": jnp.mean(perturbed),
         "std": jnp.std(perturbed),
     }
+    if delta is not None:
+        out["refocus_delta"] = delta
     for q in percentiles:
         out[f"p{q:g}"] = jnp.percentile(perturbed, q)
     if rms_threshold is not None:

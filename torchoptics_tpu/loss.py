@@ -75,6 +75,12 @@ class OpticalLoss:
     wavelengths: Tuple[float, ...] = (459.0, 520.0, 640.0)
     pupil_sampling: str = "circular"
     n_ray_aiming_iter: int = 1
+    # Spot metric the generator trains against: 'y' is the reference's
+    # Y-deviation-only `compute_rms2d` (parity default); 'xy' is the radial
+    # 2-D superset that also sees sagittal blur — training on 'y' lets
+    # generated designs hide 10-30x of sagittal spot size (RESULTS.md
+    # round-4 report card), so real training runs should use 'xy'.
+    spot_metric: str = "y"
 
     @property
     def code_lenstype(self) -> int:
@@ -104,6 +110,7 @@ class OpticalLoss:
             n_ray_aiming_iter=self.n_ray_aiming_iter,
             pupil_sampling=self.pupil_sampling,
             n_sampled_fields=self.n_sampled_fields,
+            spot_metric=self.spot_metric,
         )
 
     def unsupervised_single(self, inputs: jnp.ndarray, outputs: jnp.ndarray,
@@ -158,7 +165,8 @@ class OpticalLoss:
         res = trace_mod.trace_rays(specs, lens, cfg,
                                    aggregate=trace_mod.AGG_TORCH)
         loss_dict = sim_mod.compute_loss_out(res, len(full_sequence),
-                                             self.penalty_rate)
+                                             self.penalty_rate,
+                                             spot_metric=self.spot_metric)
         return loss_dict["loss_unsup"], loss_dict["rms"], loss_dict["penalty"]
 
     def build_batch(self, inputs: jnp.ndarray, outputs: jnp.ndarray,

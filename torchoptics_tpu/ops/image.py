@@ -201,30 +201,40 @@ def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     # (y0, x0) equal exactly the clamp-indexed neighbor rows
     # [y0, max(y0-1,0), min(y0+1,H-1), min(y0+2,H-1)] reordered to
     # [y0-1, y0, y0+1, y0+2]: the edge replica IS the clamped row.
+    #
+    # Layout: the sample axis N must be MINOR — TPU tiles the last two dims
+    # to (8, 128), so an (N, 4, 4, C) result pads C=3 to 128 lanes (a 42×
+    # memory blowup that OOMs at 1024²). Gathering (4, 4·C, N) keeps N in
+    # the lanes; x-neighbors × channels are contiguous in the flattened
+    # operand, so one (1, 4, 4·C) slice fetches the whole neighborhood.
     imp = jnp.pad(im, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="edge")
+    impf = imp.reshape(batch, height + 3, (width + 3) * channels)
     npix = x.shape[0]
     b_idx = (jnp.arange(batch, dtype=jnp.int32)[:, None]
              .repeat(out_h * out_w, axis=1).reshape(-1))
-    starts = jnp.stack([b_idx, y0.astype(jnp.int32), x0.astype(jnp.int32)],
-                       axis=1)                               # (N, 3)
+    starts = jnp.stack([b_idx, y0.astype(jnp.int32),
+                        x0.astype(jnp.int32) * channels], axis=1)  # (N, 3)
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+        offset_dims=(0, 1), collapsed_slice_dims=(0,),
         start_index_map=(0, 1, 2))
     patch = jax.lax.gather(
-        imp, starts, dnums, slice_sizes=(1, 4, 4, channels),
-        mode=jax.lax.GatherScatterMode.CLIP)                 # (N, 4, 4, C)
+        impf, starts, dnums, slice_sizes=(1, 4, 4 * channels),
+        mode=jax.lax.GatherScatterMode.CLIP)           # (4, 4C, N)
+    patch = patch.reshape(4, 4, channels, npix)
 
     # Patch index a/b = neighbor offset a-1/b-1; the original neighbor
     # order was [v0, v0-1, v0+1, v0+2] with weights [w0, w1, w2, w3] for
     # offsets [0, -1, +1, +2] — i.e. patch slot [1, 0, 2, 3].
     slot = (1, 0, 2, 3)
-    out = jnp.zeros((npix, channels), dtype=im.dtype)
+    wx = [w[:, 0] for w in wx]                         # (N,) each
+    wy = [w[:, 0] for w in wy]
+    out = jnp.zeros((channels, npix), dtype=im.dtype)
     for i in range(4):
         x_interp = jnp.zeros_like(out)
         for j in range(4):
-            x_interp = x_interp + wx[j] * patch[:, slot[i], slot[j], :]
+            x_interp = x_interp + wx[j] * patch[slot[i], slot[j]]
         out = out + wy[i] * x_interp
-    return out.reshape(batch, out_h, out_w, channels)
+    return jnp.transpose(out).reshape(batch, out_h, out_w, channels)
 
 
 def apply_distortion_by_warping(img: jnp.ndarray, dist_x: jnp.ndarray,
