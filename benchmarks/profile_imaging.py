@@ -98,7 +98,28 @@ def main():
     y_img = jnp.broadcast_to(jnp.linspace(-1., 1., px)[:, None],
                              (px, px)).reshape(-1)
 
+    def _shift_fns(shifts):
+        m = model._replace(sampled_distortion_shifts=shifts)
+
+        def shifts_px(iip, jjp):
+            import jax.numpy as jnp
+            xn = jnp.asarray(jjp) * (2.0 / (px - 1)) - 1.0
+            yn = jnp.asarray(iip) * (2.0 / (px - 1)) - 1.0
+            xn, yn = jnp.broadcast_arrays(xn, yn)
+            dx, dy = imaging.compute_distortion_shift(
+                m, xn, yn, (-1, 1), (-1, 1), field_lim)
+            return dx * (px - 1) / 2.0, dy * (px - 1) / 2.0
+        return shifts_px
+
     def warp_stage(ir, shifts):
+        """The default 'separable' two-pass warp."""
+        fns = _shift_fns(shifts)
+        return image_mod.warp_bicubic_separable(
+            ir, lambda i, j: fns(i, j)[0], lambda i, j: fns(i, j)[1],
+            img_cfg.max_warp_px)
+
+    def warp_gather_stage(ir, shifts):
+        """The exact one-pass gather warp (reference)."""
         m = model._replace(sampled_distortion_shifts=shifts)
         xs, ys = imaging.compute_distortion_shift(
             m, x_img, y_img, (-1, 1), (-1, 1), field_lim)
@@ -120,6 +141,8 @@ def main():
         "relative_illum": (ri_stage, (irr,
                                       model.sampled_relative_illumination)),
         "warp": (warp_stage, (irr, model.sampled_distortion_shifts)),
+        "warp_gather": (warp_gather_stage,
+                        (irr, model.sampled_distortion_shifts)),
     }
 
     out = {}

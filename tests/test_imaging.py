@@ -206,3 +206,38 @@ def test_sample_psfs_uneven_grouping_matches_manual():
         want = jnp.flip(jnp.transpose(k, (0, 2, 3, 1)), axis=1)[..., 0]
         np.testing.assert_allclose(np.asarray(psfs[..., c]),
                                    np.asarray(want), rtol=1e-4, atol=1e-6)
+
+
+def test_warp_separable_matches_gather_render():
+    """Round-5: the two-pass Catmull-Smith warp (production TPU path) and
+    the exact one-pass gather resampler render the same distorted image up
+    to the documented sub-pixel filter-footprint skew — on the real
+    double-Gauss distortion field (~2.5% at this resolution's corner)."""
+    import dataclasses
+    specs, lens = zoo.build("double_gauss")
+    cfg = sim.SimulatorConfig(
+        n_sampled_fields=5, n_pupil_rings=8, pupil_sampling="circular",
+        n_ray_aiming_iter=1, psf_shape=(17, 17), psf_abs_pixel_size=4e-3,
+        psf_grid_shape=(3, 3), max_warp_px=16)
+    rng = np.random.default_rng(0)
+    # smooth radiance (band-limited) so resampling-filter differences are
+    # measured on realistic content, not on white noise
+    base = rng.random((1, 16, 16, 3)).astype(np.float32) * 255.0
+    radiance = jnp.asarray(
+        jax.image.resize(jnp.asarray(base), (1, 128, 128, 3), "cubic"))
+
+    out_sep = imaging.simulate(specs, lens, radiance, cfg)[0]
+    cfg_g = dataclasses.replace(cfg, warp_method="gather")
+    out_g = imaging.simulate(specs, lens, radiance, cfg_g)[0]
+    d = np.abs(np.asarray(out_sep) - np.asarray(out_g))[0]
+    # Interior: identical geometry, filter-footprint skew only — ≤0.06% of
+    # the 255 range on this field (measured max 0.13). The outermost few
+    # rows/cols differ more (the two methods compose the border clamp in a
+    # different order over edge-replicated data) — bounded at the few-count
+    # level.
+    assert d[8:-8, 8:-8].max() <= 0.5, d[8:-8, 8:-8].max()
+    assert d.mean() <= 0.1, d.mean()
+    assert d.max() <= 8.0, d.max()
+    with pytest.raises(ValueError, match="warp_method"):
+        imaging.simulate(specs, lens, radiance,
+                         dataclasses.replace(cfg, warp_method="bogus"))

@@ -57,6 +57,61 @@ def field_mtf(specs: Specs, lens: Lens, config: sim_mod.SimulatorConfig,
     return psf_mod.compute_mtf(psfs, config.psf_abs_pixel_size)
 
 
+def through_focus_mtf(specs: Specs, lens: Lens,
+                      config: sim_mod.SimulatorConfig,
+                      deltas,
+                      key: Optional[jax.Array] = None
+                      ) -> Dict[str, jnp.ndarray]:
+    """Through-focus geometric MTF scan — the classical report-card plot
+    of modulation vs image-plane shift (VERDICT r4 #8).
+
+    Tiles the (B=1) design over the static ``deltas`` sweep (mm, added to
+    the final thickness — the same δ parameterization as :func:`refocus`),
+    traces the whole sweep as ONE batched population, renders
+    centroid-referenced per-(δ, field) PSFs at the configured sampling,
+    and returns `ops.psf.compute_mtf` cuts:
+
+      ``deltas``            (D,) the sweep (echoed as a device array)
+      ``freqs_t``/``freqs_s`` (K,) cycles/mm
+      ``mtf_t``/``mtf_s``   (D, F, W, K) tangential/sagittal modulation
+                            per focus position, field, and wavelength
+
+    Jittable and differentiable (static ``deltas`` length). To read the
+    curve at one frequency, interpolate along the last axis
+    (``jnp.interp(f0, out["freqs_t"], out["mtf_t"][d, f, w])``).
+    """
+    from torchoptics_tpu.ops import psf as psf_mod
+
+    deltas_np = np.asarray(deltas, np.float64).reshape(-1)
+    D = deltas_np.shape[0]
+    specs_n, lens_n = tile_population(specs, lens, D)
+    rows = np.arange(D)
+    last = lens_n.structure.n_surfaces - 1
+    t_new = lens_n.t.at[rows, last].add(
+        jnp.asarray(deltas, lens.dtype).reshape(-1))
+    lens_n = lens_n.replace(t=t_new)
+
+    cfg = config.trace_config()
+    res = trace_mod.trace_rays(specs_n, lens_n, cfg, key=key)
+    F = res.x.shape[1]
+    W = res.x.shape[3]
+    # compute_psf expects (B, F, channels, rays) with channels = W here —
+    # one PSF (and MTF) per wavelength; centroid-referenced (y_target=None
+    # is the per-grid centroid), zero-weighted failed rays excluded by the
+    # splat itself being position-based (failed rays sit at the origin —
+    # same convention as the reference's PSF, `ray_tracing.py:206-270`).
+    x = jnp.transpose(res.x, (0, 1, 3, 2))
+    y = jnp.transpose(res.y, (0, 1, 3, 2))
+    *_, kernels, _ = psf_mod.compute_psf(
+        x, y, n_bins=tuple(config.psf_shape),
+        increment=config.psf_abs_pixel_size)
+    ny, nx = kernels.shape[-2:]
+    kernels = kernels.reshape(D, F, W, ny, nx)
+    out = psf_mod.compute_mtf(kernels, config.psf_abs_pixel_size)
+    out["deltas"] = jnp.asarray(deltas_np, res.x.dtype)
+    return out
+
+
 @dataclass(frozen=True)
 class Tolerances:
     """1-sigma (normal) or half-width (uniform) manufacturing perturbations.

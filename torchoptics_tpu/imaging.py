@@ -172,14 +172,46 @@ def apply_optics_model(model: OpticsModel, radiance: jnp.ndarray,
 
     if config.apply_distortion and config.distortion_by_warping and \
             model.sampled_distortion_shifts is not None:
-        x_img = jnp.broadcast_to(
-            jnp.linspace(-1.0, 1.0, img_w)[None, :], (img_h, img_w)).reshape(-1)
-        y_img = jnp.broadcast_to(
-            jnp.linspace(-1.0, 1.0, img_h)[:, None], (img_h, img_w)).reshape(-1)
-        x_shift, y_shift = compute_distortion_shift(
-            model, x_img, y_img, (-1, 1), (-1, 1), field_lim)
-        irradiance = image_mod.apply_distortion_by_warping(
-            irradiance, x_img - x_shift, y_img - y_shift)
+        # Shift field in pixels, evaluable at float pixel coordinates (the
+        # [-1,1] grid maps column j to pixel j exactly, so shift_px =
+        # shift_norm·(N-1)/2). The separable warp needs the FIELD (it
+        # evaluates at preimage rows); the one-pass methods sample it on
+        # the integer grid.
+        def shifts_px(iip, jjp):
+            xn = jnp.asarray(jjp) * (2.0 / (img_w - 1)) - 1.0
+            yn = jnp.asarray(iip) * (2.0 / (img_h - 1)) - 1.0
+            xn, yn = jnp.broadcast_arrays(xn, yn)
+            dx, dy = compute_distortion_shift(
+                model, xn, yn, (-1, 1), (-1, 1), field_lim)
+            return dx * (img_w - 1) / 2.0, dy * (img_h - 1) / 2.0
+
+        if config.warp_method == "separable":
+            irradiance = image_mod.warp_bicubic_separable(
+                irradiance,
+                lambda ii, jj: shifts_px(ii, jj)[0],
+                lambda ii, jj: shifts_px(ii, jj)[1],
+                config.max_warp_px)
+        elif config.warp_method == "taps":
+            ii = jnp.arange(img_h, dtype=irradiance.dtype)[:, None]
+            jj = jnp.arange(img_w, dtype=irradiance.dtype)[None, :]
+            sx_px, sy_px = shifts_px(ii, jj)
+            irradiance = image_mod.warp_bicubic_shifts(
+                irradiance, sx_px, sy_px, config.max_warp_px)
+        elif config.warp_method == "gather":
+            x_img = jnp.broadcast_to(
+                jnp.linspace(-1.0, 1.0, img_w)[None, :],
+                (img_h, img_w)).reshape(-1)
+            y_img = jnp.broadcast_to(
+                jnp.linspace(-1.0, 1.0, img_h)[:, None],
+                (img_h, img_w)).reshape(-1)
+            x_shift, y_shift = compute_distortion_shift(
+                model, x_img, y_img, (-1, 1), (-1, 1), field_lim)
+            irradiance = image_mod.apply_distortion_by_warping(
+                irradiance, x_img - x_shift, y_img - y_shift)
+        else:
+            raise ValueError(
+                f"warp_method must be 'separable', 'gather', or 'taps', "
+                f"got {config.warp_method!r}")
 
     return irradiance, psnr, ssim
 

@@ -196,43 +196,44 @@ def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     wx = weights(x, x0)
     wy = weights(y, y0)
 
-    # One gather of the full 4×4 neighborhood per sample. Padding rows/cols
-    # by (1, 2) in edge mode makes patch row a of a patch starting at
-    # (y0, x0) equal exactly the clamp-indexed neighbor rows
-    # [y0, max(y0-1,0), min(y0+1,H-1), min(y0+2,H-1)] reordered to
-    # [y0-1, y0, y0+1, y0+2]: the edge replica IS the clamped row.
-    #
-    # Layout: the sample axis N must be MINOR — TPU tiles the last two dims
-    # to (8, 128), so an (N, 4, 4, C) result pads C=3 to 128 lanes (a 42×
-    # memory blowup that OOMs at 1024²). Gathering (4, 4·C, N) keeps N in
-    # the lanes; x-neighbors × channels are contiguous in the flattened
-    # operand, so one (1, 4, 4·C) slice fetches the whole neighborhood.
+    # One SIMPLE row-gather of the whole 4×4×C neighborhood per sample.
+    # TPU gather cost is dominated by the per-index slice machinery: 16 row
+    # gathers of (R, C) cost 80 ms at 1024² and a multi-dim (1, 4, 4C)
+    # slice gather scalarizes to 1.8 s — but one full-row gather of a
+    # precomputed (R, 16·C) neighborhood tensor lowers like the fast (R, C)
+    # case while fetching all 16 taps at once. The neighborhood tensor is
+    # built with 16 static shifted slices of the edge-padded image (pure
+    # bandwidth); padding by (1, 2) reproduces the per-neighbor index
+    # clamping exactly (the edge replica IS the clamped row/column).
     imp = jnp.pad(im, ((0, 0), (1, 2), (1, 2), (0, 0)), mode="edge")
-    impf = imp.reshape(batch, height + 3, (width + 3) * channels)
+    nb = jnp.stack(
+        [imp[:, dy:dy + height, dx:dx + width, :]
+         for dy in range(4) for dx in range(4)], axis=3)  # (B, H, W, 16, C)
+    opnd = nb.reshape(batch * height * width, 16 * channels)
     npix = x.shape[0]
     b_idx = (jnp.arange(batch, dtype=jnp.int32)[:, None]
              .repeat(out_h * out_w, axis=1).reshape(-1))
-    starts = jnp.stack([b_idx, y0.astype(jnp.int32),
-                        x0.astype(jnp.int32) * channels], axis=1)  # (N, 3)
+    starts = (b_idx * (height * width)
+              + y0.astype(jnp.int32) * width
+              + x0.astype(jnp.int32))[:, None]            # (N, 1)
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(0, 1), collapsed_slice_dims=(0,),
-        start_index_map=(0, 1, 2))
+        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,))
     patch = jax.lax.gather(
-        impf, starts, dnums, slice_sizes=(1, 4, 4 * channels),
-        mode=jax.lax.GatherScatterMode.CLIP)           # (4, 4C, N)
-    patch = patch.reshape(4, 4, channels, npix)
+        opnd, starts, dnums, slice_sizes=(1, 16 * channels),
+        mode=jax.lax.GatherScatterMode.CLIP)              # (16C, N): N minor
+    patch = patch.reshape(16, channels, npix)
 
-    # Patch index a/b = neighbor offset a-1/b-1; the original neighbor
-    # order was [v0, v0-1, v0+1, v0+2] with weights [w0, w1, w2, w3] for
-    # offsets [0, -1, +1, +2] — i.e. patch slot [1, 0, 2, 3].
+    # Neighborhood slot (dy, dx) = offsets (dy-1, dx-1); the original
+    # neighbor order was [v0, v0-1, v0+1, v0+2] with weights
+    # [w0, w1, w2, w3] for offsets [0, -1, +1, +2] — slot map [1, 0, 2, 3].
     slot = (1, 0, 2, 3)
-    wx = [w[:, 0] for w in wx]                         # (N,) each
+    wx = [w[:, 0] for w in wx]                            # (N,) each
     wy = [w[:, 0] for w in wy]
     out = jnp.zeros((channels, npix), dtype=im.dtype)
     for i in range(4):
-        x_interp = jnp.zeros_like(out)
+        x_interp = jnp.zeros((channels, npix), dtype=im.dtype)
         for j in range(4):
-            x_interp = x_interp + wx[j] * patch[slot[i], slot[j]]
+            x_interp = x_interp + wx[j] * patch[slot[i] * 4 + slot[j]]
         out = out + wy[i] * x_interp
     return jnp.transpose(out).reshape(batch, out_h, out_w, channels)
 
@@ -250,6 +251,188 @@ def apply_distortion_by_warping(img: jnp.ndarray, dist_x: jnp.ndarray,
     warped = interpolate_bicubic(merged, dist_x, dist_y, (h, w))
     warped = warped.reshape(h, w, b, c)
     return jnp.transpose(warped, (2, 0, 1, 3))
+
+
+def warp_bicubic_shifts(img: jnp.ndarray, sx_px: jnp.ndarray,
+                        sy_px: jnp.ndarray, max_shift_px: int
+                        ) -> jnp.ndarray:
+    """Keys-bicubic warp for per-pixel SHIFT maps with a static bound —
+    gather-free.
+
+    Same resampling math as :func:`interpolate_bicubic` at source
+    coordinates (i − sy_px, j − sx_px), but evaluated as a dense tap sum
+    over the static offset band [−M−2, M+2]² (M = ``max_shift_px``): each
+    tap is a shifted slice of the edge-padded image times a 4-way-select
+    Keys weight map. TPU gathers cost ~μs per megapixel *index map*
+    (80 ms for the 16-row-gather form, 1.8 s for a 4×4-slice gather at
+    1024² — `benchmarks/profile_imaging.py`); this form is pure VPU
+    FMA + selects and runs at the few-ms relay floor.
+
+    Exactness: identical neighbors and weights as ``interpolate_bicubic``
+    (coordinate clamp to [0, N−1], per-neighbor index clamping via edge
+    padding), so results match to f32 accumulation order. Shifts are
+    clamped to ±M — pick M ≥ the physical maximum (distortion shifts are
+    a few px; ``SimulatorConfig.max_warp_px``).
+
+    Args:
+      img: (B, H, W, C); sx_px/sy_px: (H, W) shifts in PIXELS (positive =
+        sample from smaller coordinate, i.e. content moves +x/+y).
+      max_shift_px: static clamp M; taps scale as (2M+5)².
+    """
+    B, H, W, C = img.shape
+    M = int(max_shift_px)
+    dtype = img.dtype
+    alpha = -0.75
+    coeffs = np.asarray([
+        [1, 0, -(alpha + 3), (alpha + 2)],
+        [0, alpha, -2 * alpha, alpha],
+        [0, -alpha, 2 * alpha + 3, -alpha - 2],
+        [0, 0, alpha, -alpha]], dtype=np.float64)
+
+    jj = jnp.arange(W, dtype=dtype)[None, :]
+    ii = jnp.arange(H, dtype=dtype)[:, None]
+    xs = jnp.clip(jj - jnp.clip(sx_px.astype(dtype), -M, M), 0, W - 1)
+    ys = jnp.clip(ii - jnp.clip(sy_px.astype(dtype), -M, M), 0, H - 1)
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+
+    def keys_w(v, v0):
+        tv = v - v0
+        powers = (jnp.ones_like(tv), tv, tv * tv, tv * tv * tv)
+        return [sum(float(coeffs[i, j]) * powers[j] for j in range(4))
+                for i in range(4)]                    # rows: offsets 0,-1,1,2
+
+    wxk = keys_w(xs, x0)
+    wyk = keys_w(ys, y0)
+    bx = x0.astype(jnp.int32) - jnp.arange(W, dtype=jnp.int32)[None, :]
+    by = y0.astype(jnp.int32) - jnp.arange(H, dtype=jnp.int32)[:, None]
+
+    # Keys row index for neighbor offset o relative to v0 (see
+    # interpolate_bicubic's neighbor order [v0, v0-1, v0+1, v0+2]).
+    row_of = {0: 0, -1: 1, 1: 2, 2: 3}
+    offsets = range(-M - 2, M + 3)                    # 2M+5 taps per axis
+
+    def weight_maps(b_map, wk):
+        """Per-tap weight map: tap at absolute offset d carries the Keys
+        weight of whichever neighbor o (of the 4) lands there, else 0."""
+        out = {}
+        for d in offsets:
+            w = jnp.zeros(b_map.shape, dtype)
+            for o, r in row_of.items():
+                w = jnp.where(b_map == d - o, wk[r], w)
+            out[d] = w
+        return out
+
+    WX = weight_maps(bx, wxk)
+    WY = weight_maps(by, wyk)
+
+    T = M + 2
+    imp = jnp.pad(img, ((0, 0), (T, T), (T, T), (0, 0)), mode="edge")
+    out = jnp.zeros_like(img)
+    for dy in offsets:
+        row_acc = jnp.zeros_like(img)
+        for dx in offsets:
+            sl = jax.lax.slice(imp, (0, T + dy, T + dx, 0),
+                               (B, T + dy + H, T + dx + W, C))
+            row_acc = row_acc + WX[dx][None, :, :, None] * sl
+        out = out + WY[dy][None, :, :, None] * row_acc
+    return out
+
+
+def _tap1d(img: jnp.ndarray, coord: jnp.ndarray, axis: int,
+           max_shift_px: int) -> jnp.ndarray:
+    """1-D Keys-bicubic resample of (B, H, W, C) along H (axis=1) or W
+    (axis=2) at per-pixel source ``coord`` (H, W), as a static tap sum.
+
+    Same neighbor/clamp/weight semantics as :func:`interpolate_bicubic`
+    restricted to one axis; taps cover the static band
+    [−max_shift_px−2, max_shift_px+2] (coordinates clamp into it)."""
+    B, H, W, C = img.shape
+    N = H if axis == 1 else W
+    M = int(max_shift_px)
+    dtype = img.dtype
+    alpha = -0.75
+    coeffs = np.asarray([
+        [1, 0, -(alpha + 3), (alpha + 2)],
+        [0, alpha, -2 * alpha, alpha],
+        [0, -alpha, 2 * alpha + 3, -alpha - 2],
+        [0, 0, alpha, -alpha]], dtype=np.float64)
+
+    base = (jnp.arange(H, dtype=dtype)[:, None] if axis == 1
+            else jnp.arange(W, dtype=dtype)[None, :])
+    v = jnp.clip(coord.astype(dtype), 0, N - 1)
+    # clamp the effective shift into the static band
+    v = jnp.clip(v, base - M, base + M)
+    v0 = jnp.floor(v)
+    tv = v - v0
+    powers = (jnp.ones_like(tv), tv, tv * tv, tv * tv * tv)
+    wk = [sum(float(coeffs[i, j]) * powers[j] for j in range(4))
+          for i in range(4)]                      # rows: offsets 0,-1,1,2
+    b_map = v0.astype(jnp.int32) - base.astype(jnp.int32)
+
+    row_of = {0: 0, -1: 1, 1: 2, 2: 3}
+    offsets = range(-M - 2, M + 3)
+    T = M + 2
+    pad_cfg = [(0, 0), (0, 0), (0, 0), (0, 0)]
+    pad_cfg[axis] = (T, T)
+    imp = jnp.pad(img, pad_cfg, mode="edge")
+    out = jnp.zeros_like(img)
+    for d in offsets:
+        w = jnp.zeros(b_map.shape, dtype)
+        for o, r in row_of.items():
+            w = jnp.where(b_map == d - o, wk[r], w)
+        if axis == 1:
+            sl = jax.lax.slice(imp, (0, T + d, 0, 0), (B, T + d + H, W, C))
+        else:
+            sl = jax.lax.slice(imp, (0, 0, T + d, 0), (B, H, T + d + W, C))
+        out = out + w[None, :, :, None] * sl
+    return out
+
+
+def warp_bicubic_separable(img: jnp.ndarray, sx_fn, sy_fn,
+                           max_shift_px: int,
+                           n_solve_iters: int = 4) -> jnp.ndarray:
+    """Two-pass (Catmull–Smith) bicubic warp for smooth per-pixel shift
+    FIELDS — the production TPU path for large distortion.
+
+    The direct 2-D warp needs either a gather (TPU gathers move ~2.5 GB/s
+    — 78 ms at 1024², `benchmarks/profile_imaging.py`) or a tap sum whose
+    cost scales as (2M+5)² in the shift bound M (infeasible at the
+    double-Gauss's ~26 px corner shifts). Decomposing into an x-pass then a
+    y-pass makes each a 1-D tap sum of (2M+5) taps — pure VPU work, ~2 ms
+    per pass.
+
+    Geometry is EXACT: the intermediate x-coordinate map is evaluated at
+    the row's preimage (the classical Catmull–Smith solve), found by
+    ``n_solve_iters`` fixed-point steps of p = i' + sy(p, j) — shift
+    fields are a few % of the radius, so this converges geometrically.
+    The only difference vs the one-pass 2-D resample is a filter-footprint
+    skew of order |∂sx/∂y|·(kernel radius) ≲ 0.3 px at a 5 %-distortion
+    corner — a sub-pixel anisotropy of the interpolation kernel, not a
+    position error (parity-tested against the gather path).
+
+    Args:
+      img: (B, H, W, C).
+      sx_fn/sy_fn: callables (ii, jj) → shift in PIXELS at float pixel
+        coordinates (broadcastable (H, W) arrays); source point of output
+        pixel (i, j) is (i − sy(i, j), j − sx(i, j)), as in
+        :func:`warp_bicubic_shifts`.
+      max_shift_px: static per-axis bound M (coordinates clamp into it).
+    """
+    B, H, W, C = img.shape
+    dtype = img.dtype
+    ii = jnp.arange(H, dtype=dtype)[:, None]
+    jj = jnp.arange(W, dtype=dtype)[None, :]
+
+    # Preimage of each intermediate row: p − sy(p, j) = i'  ⇒  fixed point.
+    p = ii
+    for _ in range(n_solve_iters):
+        p = ii + sy_fn(p, jj)
+    xs2 = jj - sx_fn(p, jj)                    # x source map, intermediate
+    tmp = _tap1d(img, xs2, axis=2, max_shift_px=max_shift_px)
+
+    ysrc = ii - sy_fn(ii, jj)                  # y source map, final
+    return _tap1d(tmp, ysrc, axis=1, max_shift_px=max_shift_px)
 
 
 def psnr(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 255.0) -> jnp.ndarray:

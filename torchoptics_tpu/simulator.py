@@ -57,6 +57,22 @@ class SimulatorConfig:
     psf_abs_pixel_size: float = 4.0e-3
     psf_grid_shape: Tuple[int, int] = (9, 9)
     simulated_res_factor: int = 1
+    # Distortion-warp resampler:
+    #  'separable' (default) — two-pass Catmull–Smith bicubic
+    #    (`ops.image.warp_bicubic_separable`): 1-D tap sums per axis, pure
+    #    VPU (~4 ms at 1024² vs 78 ms for the gather), geometry exact,
+    #    filter footprint skewed by ≲0.3 px at a 5 %-distortion corner.
+    #  'gather' — one-pass 4×4-neighborhood row-gather
+    #    (`ops.image.interpolate_bicubic`): the exact reference resampler;
+    #    TPU gathers move ~2.5 GB/s, so it costs ~78 ms at 1024².
+    #  'taps' — one-pass gather-free tap-sum
+    #    (`ops.image.warp_bicubic_shifts`), cost ∝ (2·max_warp_px+5)²;
+    #    shifts CLAMP at ±max_warp_px — only for small-distortion designs.
+    # max_warp_px bounds the per-axis shift band for 'separable'/'taps'
+    # (shift_px ≈ relative distortion × image half-diagonal; the
+    # double-Gauss corner reaches ~26 px at 1024²).
+    warp_method: str = "separable"
+    max_warp_px: int = 32
     distortion_by_warping: bool = True
     apply_distortion: bool = True
     apply_relative_illumination: bool = True
