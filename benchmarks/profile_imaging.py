@@ -116,7 +116,7 @@ def main():
         fns = _shift_fns(shifts)
         return image_mod.warp_bicubic_separable(
             ir, lambda i, j: fns(i, j)[0], lambda i, j: fns(i, j)[1],
-            img_cfg.max_warp_px)
+            imaging.resolve_max_warp_px(img_cfg, px, px))
 
     def warp_gather_stage(ir, shifts):
         """The exact one-pass gather warp (reference)."""

@@ -54,6 +54,13 @@ def main():
     ap.add_argument("--lens-type", default="GA")
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--penalty-rate", type=float, default=0.2,
+                    help="Lu penalty weight (reference default 0.2). The "
+                    "stock rate lets the penalty sum dominate the spot "
+                    "term over long runs — training loss keeps falling "
+                    "while generated designs' spot RMS degrades (same "
+                    "pathology RESULTS.md documents for refine_flagship); "
+                    "drop it for spot-quality-focused training")
     ap.add_argument("--metric", default="y", choices=("y", "xy"),
                     help="spot metric: 'y' = reference parity (blind to "
                     "sagittal blur), 'xy' = radial 2-D (use for real runs)")
@@ -63,16 +70,26 @@ def main():
     ap.add_argument("--eval-designs", type=int, default=256,
                     help="designs sampled for the post-training quality "
                     "distribution (0 disables)")
+    ap.add_argument("--snap-glass", action="store_true",
+                    help="quantize glass to the Ohara catalog INSIDE "
+                    "training (straight-through gradient, "
+                    "glass.quantize_glass_st) so the generator optimizes "
+                    "the same catalog-snapped designs the eval scores — "
+                    "without it, trained g-vectors drift off-catalog and "
+                    "the snapped distribution degrades even as the "
+                    "training loss falls")
     args = ap.parse_args()
 
     from torchoptics_tpu.utils.backend import ensure_backend
     ensure_backend()
     from torchoptics_tpu.loss import OpticalLoss
+    from torchoptics_tpu.models import glass as glass_mod
 
     on_tpu = jax.default_backend() == "tpu"
     engine = args.engine or ("pallas" if on_tpu else "xla")
     ol = OpticalLoss(args.lens_type, n_sampled_fields=4, n_pupil_rings=6,
-                     spot_metric=args.metric)
+                     spot_metric=args.metric,
+                     penalty_rate=args.penalty_rate)
     G, S = ol.numglass, ol.numsurf
     n_out = ol.numout
 
@@ -93,10 +110,21 @@ def main():
         hfov = jax.random.uniform(khfov, (n,), minval=0.2, maxval=0.45)
         return epd, hfov
 
+    catalog_g_train = glass_mod.default_catalog_g()
+
+    def snap_outputs_st(outputs):
+        n = outputs.shape[0]
+        g_q = glass_mod.quantize_glass_st(
+            outputs[:, : 2 * G].reshape(-1, 2), catalog_g_train)
+        return jnp.concatenate([g_q.reshape(n, 2 * G),
+                                outputs[:, 2 * G:]], axis=1)
+
     def batch_loss(net_params, key):
         epd, hfov = sample_specs(key, args.batch)
         inputs = jnp.stack([epd, hfov], axis=1)
         outputs = mlp(net_params, inputs) * 0.1 + base
+        if args.snap_glass:
+            outputs = snap_outputs_st(outputs)
         # engine='pallas': the whole population traces fwd+bwd in ONE fused
         # batch kernel launch; 'xla': vmapped per-sample XLA engine.
         lu, _, _ = ol.unsupervised(inputs, outputs, stop_idx=1,
@@ -153,8 +181,6 @@ def main():
             [jnp.asarray(g_snap).reshape(args.eval_designs, 2 * G),
              outputs[:, 2 * G:]], axis=1)
 
-        specs_b, lens_b = ol.build_batch(inputs, outputs_snap, stop_idx=1)
-
         @jax.jit
         def score(specs_b, lens_b):
             cfg = ol._sim_config().trace_config()
@@ -166,18 +192,22 @@ def main():
                                axis=(1, 2, 3))
             return rms_y, rms_xy, frac_ok
 
-        rms_y, rms_xy, frac_ok = map(np.asarray, score(specs_b, lens_b))
-        valid = np.isfinite(rms_xy) & (frac_ok > 0.5)
-        print(f"\ndesign-quality distribution ({args.eval_designs} specs, "
-              f"catalog-snapped glass; {valid.mean() * 100:.0f}% trace "
-              f">50% of rays):")
-        for name, v in (("rms_y", rms_y[valid]), ("rms_xy", rms_xy[valid])):
-            if v.size == 0:
-                print(f"  {name}: no valid designs")
-                continue
-            q = np.percentile(v, (10, 50, 90))
-            print(f"  {name}  p10 {q[0]:.5f}  p50 {q[1]:.5f}  "
-                  f"p90 {q[2]:.5f}  (EFL=1 units)")
+        for label, outs in (("catalog-snapped glass", outputs_snap),
+                            ("raw (unsnapped) glass", outputs)):
+            specs_b, lens_b = ol.build_batch(inputs, outs, stop_idx=1)
+            rms_y, rms_xy, frac_ok = map(np.asarray, score(specs_b, lens_b))
+            valid = np.isfinite(rms_xy) & (frac_ok > 0.5)
+            print(f"\ndesign-quality distribution ({args.eval_designs} "
+                  f"specs, {label}; {valid.mean() * 100:.0f}% trace "
+                  f">50% of rays):")
+            for name, v in (("rms_y", rms_y[valid]),
+                            ("rms_xy", rms_xy[valid])):
+                if v.size == 0:
+                    print(f"  {name}: no valid designs")
+                    continue
+                q = np.percentile(v, (10, 50, 90))
+                print(f"  {name}  p10 {q[0]:.5f}  p50 {q[1]:.5f}  "
+                      f"p90 {q[2]:.5f}  (EFL=1 units)")
 
 
 if __name__ == "__main__":

@@ -126,6 +126,29 @@ def test_refocus_compensated_tolerancing():
                                     compensator="tilt")
 
 
+def test_refocus_follows_spot_metric():
+    """Round-5 regression: a compensator optimizing a different functional
+    than the score is WORSE than no compensator. The y-refined double-Gauss
+    is astigmatic (rms_xy ≈ 23× rms_y, RESULTS.md), so its radial best
+    focus sits ~0.4 mm from the y-metric best focus — refocusing it
+    radially blew its y-only score up 9× before refocus followed
+    config.spot_metric."""
+    import dataclasses
+    specs, lens = zoo.build("double_gauss")
+    cfg_y = CFG                                   # spot_metric='y' default
+    cfg_xy = dataclasses.replace(CFG, spot_metric="xy")
+    lens_y, d_y = analysis.refocus(specs, lens, cfg_y)
+    _, d_xy = analysis.refocus(specs, lens, cfg_xy)
+    # y-metric focus stays near the shipped (y-refined) focus; the radial
+    # focus is a large move (the tangential/sagittal split)
+    assert abs(float(d_y[0])) < 0.1, float(d_y[0])
+    assert abs(float(d_xy[0])) > 0.15, float(d_xy[0])
+    # compensating must not worsen the score it is paired with
+    rms0 = float(analysis._per_sample_rms(specs, lens, cfg_y)[0])
+    rms1 = float(analysis._per_sample_rms(specs, lens_y, cfg_y)[0])
+    assert rms1 <= rms0 + 2e-4, (rms0, rms1)
+
+
 def test_through_focus_mtf_peak_tracks_defocus():
     """VERDICT r4 #8 (stretch): a +0.4 mm image-distance perturbation moves
     the through-focus MTF peak by exactly −0.4 mm relative to the nominal

@@ -30,6 +30,20 @@ def test_sample_optics_model():
                                1.0, rtol=1e-3)
 
 
+def test_resolve_max_warp_px():
+    """Auto warp band scales with the image half-diagonal (explicit int
+    wins): a fixed px budget that fits 1024² silently clamps the same
+    relative distortion at 2048²."""
+    import dataclasses
+    auto = CFG  # max_warp_px defaults to None = auto
+    m1024 = imaging.resolve_max_warp_px(auto, 1024, 1024)
+    m2048 = imaging.resolve_max_warp_px(auto, 2048, 2048)
+    assert m1024 == 33 and m2048 == 66  # ceil(0.045 * half-diag)
+    assert imaging.resolve_max_warp_px(auto, 64, 64) == 8  # floor
+    expl = dataclasses.replace(CFG, max_warp_px=16)
+    assert imaging.resolve_max_warp_px(expl, 2048, 2048) == 16
+
+
 def test_field_lim_full_image():
     x0, x1, y0, y1 = imaging.sample_field_lim(30, 40)
     diag = np.hypot(30, 40)

@@ -183,20 +183,17 @@ def test_diffraction_psf_airy():
 
 
 def test_pallas_engine_unsupported_configs_raise():
-    """engine='pallas' OPL covers single spherical f32 systems via the
-    fused in-kernel accumulator (tests/test_opl_fused.py); everything else
-    still raises loudly."""
+    """Round 5: engine='pallas' OPL dispatches ALL FOUR kernel families
+    (single/batched × spherical/asphere — parity in
+    tests/test_opl_fused.py); only fp64 still raises loudly."""
     import dataclasses
-    specs, lens = zoo.build("double_gauss_asph")
+    specs, lens = zoo.build("cooke")
     cfg = trace.TraceConfig(mode="circular", n_rays=(4, 4),
                             rel_fields=(0.0,), wavelengths=(520.0,),
                             engine="pallas")
-    with pytest.raises(NotImplementedError, match="asphere"):
-        wf.optical_path_lengths(specs, lens, cfg)
-    specs_s, lens_s = zoo.build("cooke")
     cfg64 = dataclasses.replace(cfg, double_precision=True)
     with pytest.raises(NotImplementedError, match="double"):
-        wf.optical_path_lengths(specs_s, lens_s, cfg64)
+        wf.optical_path_lengths(specs, lens, cfg64)
 
 
 def test_opd_differentiable():

@@ -289,10 +289,16 @@ def refocus(specs: Specs, lens: Lens, config: sim_mod.SimulatorConfig,
 
     TPU-build superset (the reference's only focus handling is the
     paraxial BFL solve, `lens_modeling.py:310-320`); complements
-    `optimize.LensOptimizer(add_bfl=True)` with a real-ray focus. Note the
-    objective includes BOTH transverse axes, unlike the reference-pinned
-    `compute_rms2d` (y-deviations only) — on astigmatic designs the two
-    best-focus positions differ.
+    `optimize.LensOptimizer(add_bfl=True)` with a real-ray focus.
+
+    The minimized functional FOLLOWS ``config.spot_metric``: ``'xy'``
+    pools both transverse axes, ``'y'`` (the reference-pinned
+    `compute_rms2d` semantics) pools y-deviations only. This matters —
+    the two best-focus positions differ on astigmatic designs, and the
+    y-refined double-Gauss flagship is astigmatic enough (rms_xy ≈ 23×
+    rms_y, RESULTS.md report card) that compensating at the RADIAL best
+    focus makes its y-only score ~9× WORSE than not compensating at all
+    (measured: nominal 0.0031 → 0.0277 mm at |δ| = 0.37 mm).
     """
     cfg = config.trace_config()
     res = trace_mod.trace_rays(specs, lens, cfg, key=key)
@@ -307,9 +313,13 @@ def refocus(specs: Specs, lens: Lens, config: sim_mod.SimulatorConfig,
 
     x, y = centered(res.x), centered(res.y)
     txc, tyc = centered(tx), centered(ty)
-    num = jnp.sum(w * (x * txc + y * tyc), axis=(1, 2, 3))      # (B,)
-    den = jnp.maximum(jnp.sum(w * (txc ** 2 + tyc ** 2), axis=(1, 2, 3)),
-                      1e-12)
+    if config.spot_metric == "y":
+        num = jnp.sum(w * (y * tyc), axis=(1, 2, 3))            # (B,)
+        den = jnp.maximum(jnp.sum(w * tyc ** 2, axis=(1, 2, 3)), 1e-12)
+    else:
+        num = jnp.sum(w * (x * txc + y * tyc), axis=(1, 2, 3))  # (B,)
+        den = jnp.maximum(jnp.sum(w * (txc ** 2 + tyc ** 2),
+                                  axis=(1, 2, 3)), 1e-12)
     delta = -num / den
     st = lens.structure
     rows = np.arange(len(lens))

@@ -114,6 +114,22 @@ def compute_distortion_shift(model: OpticsModel, x, y, x_lim, y_lim,
     return delta_x, delta_y
 
 
+def resolve_max_warp_px(config: sim_mod.SimulatorConfig,
+                        img_h: int, img_w: int) -> int:
+    """Static per-axis shift bound for the tap-sum warps.
+
+    ``config.max_warp_px`` if set; else auto — ceil(4.5% of the image
+    half-diagonal), min 8 px. 4.5% comfortably covers the zoo's worst
+    distortion (double-Gauss corner ≈3.6%); the auto bound grows with
+    resolution, so a 2048² render keeps the corner geometry a fixed
+    1024² budget would clamp, and a 256² render pays 21 taps/axis
+    instead of 69."""
+    if config.max_warp_px is not None:
+        return int(config.max_warp_px)
+    half_diag = 0.5 * math.sqrt(img_h ** 2 + img_w ** 2)
+    return max(8, int(math.ceil(0.045 * half_diag)))
+
+
 def apply_optics_model(model: OpticsModel, radiance: jnp.ndarray,
                        field_lim, config: sim_mod.SimulatorConfig,
                        max_value: float = 255.0):
@@ -185,18 +201,19 @@ def apply_optics_model(model: OpticsModel, radiance: jnp.ndarray,
                 model, xn, yn, (-1, 1), (-1, 1), field_lim)
             return dx * (img_w - 1) / 2.0, dy * (img_h - 1) / 2.0
 
+        warp_band = resolve_max_warp_px(config, img_h, img_w)
         if config.warp_method == "separable":
             irradiance = image_mod.warp_bicubic_separable(
                 irradiance,
                 lambda ii, jj: shifts_px(ii, jj)[0],
                 lambda ii, jj: shifts_px(ii, jj)[1],
-                config.max_warp_px)
+                warp_band)
         elif config.warp_method == "taps":
             ii = jnp.arange(img_h, dtype=irradiance.dtype)[:, None]
             jj = jnp.arange(img_w, dtype=irradiance.dtype)[None, :]
             sx_px, sy_px = shifts_px(ii, jj)
             irradiance = image_mod.warp_bicubic_shifts(
-                irradiance, sx_px, sy_px, config.max_warp_px)
+                irradiance, sx_px, sy_px, warp_band)
         elif config.warp_method == "gather":
             x_img = jnp.broadcast_to(
                 jnp.linspace(-1.0, 1.0, img_w)[None, :],

@@ -70,9 +70,14 @@ class SimulatorConfig:
     #    shifts CLAMP at ±max_warp_px — only for small-distortion designs.
     # max_warp_px bounds the per-axis shift band for 'separable'/'taps'
     # (shift_px ≈ relative distortion × image half-diagonal; the
-    # double-Gauss corner reaches ~26 px at 1024²).
+    # double-Gauss corner reaches ~26 px at 1024²). None (default) =
+    # auto-scale with resolution: ceil(4.5% of the image half-diagonal),
+    # min 8 px — covers ≤4.5%-distortion designs at EVERY resolution
+    # (a fixed px count silently clamps when the image grows: 26 px at
+    # 1024² becomes 52 px at 2048²). Set an explicit int for
+    # higher-distortion designs; shifts CLAMP at the band edge.
     warp_method: str = "separable"
-    max_warp_px: int = 32
+    max_warp_px: Optional[int] = None
     distortion_by_warping: bool = True
     apply_distortion: bool = True
     apply_relative_illumination: bool = True
