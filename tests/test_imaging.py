@@ -255,3 +255,35 @@ def test_warp_separable_matches_gather_render():
     with pytest.raises(ValueError, match="warp_method"):
         imaging.simulate(specs, lens, radiance,
                          dataclasses.replace(cfg, warp_method="bogus"))
+
+
+def test_warp_band_honesty_check():
+    """Round-5 polish: the tap-sum warps clamp shifts into the static band;
+    on the eager path apply_optics_model must refuse (loud ValueError, not
+    flattened corners) when the model's distortion exceeds it, and
+    required_warp_band reports the needed band."""
+    import dataclasses
+    specs, lens = zoo.build("double_gauss")
+    cfg = sim.SimulatorConfig(
+        n_sampled_fields=5, n_pupil_rings=8, pupil_sampling="circular",
+        n_ray_aiming_iter=1, psf_shape=(17, 17), psf_abs_pixel_size=4e-3,
+        psf_grid_shape=(3, 3), max_warp_px=4)
+    radiance = jnp.zeros((1, 128, 128, 3)) + 128.0
+    model = imaging.sample_optics_model(specs, lens, cfg)
+    field_lim = imaging.sample_field_lim(128, 128)
+
+    need = float(imaging.required_warp_band(model, field_lim, 128, 128))
+    assert need > 0.0
+    # inflate the distortion far past the 4 px band
+    big = model._replace(
+        sampled_distortion_shifts=model.sampled_distortion_shifts * 50.0)
+    big_need = float(imaging.required_warp_band(big, field_lim, 128, 128))
+    assert big_need > 4.0
+    with pytest.raises(ValueError, match="max_warp_px"):
+        imaging.apply_optics_model(big, radiance, field_lim, cfg)
+    # the exact gather path handles any shift
+    cfg_g = dataclasses.replace(cfg, warp_method="gather")
+    imaging.apply_optics_model(big, radiance, field_lim, cfg_g)
+    # under jit the check must not fire (shifts are tracers)
+    jax.jit(lambda m, r: imaging.apply_optics_model(
+        m, r, field_lim, cfg))(big, radiance)

@@ -170,3 +170,23 @@ def test_solved_tables_vig_fn_distinct_components_roundtrip():
     mask = np.asarray(lens.structure.mask)
     excess = (r - sa[:, :, None, None] * 1.005)[mask]
     assert (excess <= 0.0).all(), excess.max()
+
+
+def test_solver_gradient_is_nan_free():
+    """Round-5 polish: jax.grad through the solver is finite — the chief
+    ray's hit radius is exactly 0 on every surface at field 0, so a bare
+    sqrt would poison the whole gradient (the CLAUDE.md sqrt rule;
+    `_safe_sqrt` guards it)."""
+    import dataclasses
+    import jax
+    specs, lens = zoo.build("tessar")
+
+    def objective(c):
+        out = vig_mod.solve_vignetting(
+            specs, dataclasses.replace(lens, c=c), REL_FIELDS, n_scan=25,
+            n_ray_aiming_iter=0)
+        return jnp.sum(out["vig_up"]) + jnp.sum(out["vig_x"])
+
+    g = jax.grad(objective)(lens.c)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.linalg.norm(g)) > 0.0

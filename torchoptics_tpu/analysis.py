@@ -242,7 +242,12 @@ def tolerance_analysis(specs: Specs, lens: Lens,
 
     Returns a dict of device scalars/arrays:
       ``rms``            (n_samples,) per-sample spot RMS (sample 0 nominal)
-      ``nominal_rms``    RMS of the unperturbed design
+      ``nominal_rms``    RMS of the unperturbed design (sample 0). With
+                         ``compensator='refocus'`` the nominal sample is
+                         refocused like every other — this is the nominal
+                         design at its own best focus, the consistent
+                         baseline for compensated yields; for the
+                         as-designed-focus score run ``compensator=None``.
       ``mean``/``std``   moments over the perturbed samples
       ``p<q>``           requested RMS percentiles
       ``yield_fraction`` fraction with RMS <= rms_threshold (if given)

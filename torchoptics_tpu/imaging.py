@@ -122,12 +122,41 @@ def resolve_max_warp_px(config: sim_mod.SimulatorConfig,
     half-diagonal), min 8 px. 4.5% comfortably covers the zoo's worst
     distortion (double-Gauss corner ≈3.6%); the auto bound grows with
     resolution, so a 2048² render keeps the corner geometry a fixed
-    1024² budget would clamp, and a 256² render pays 21 taps/axis
-    instead of 69."""
+    1024² budget would clamp, and a 256² render pays 2M+5 = 23 taps/axis
+    instead of 71.
+
+    The tap-sum warps CLAMP shifts into this band — a lens whose corner
+    shift exceeds it renders with flattened corner geometry.
+    :func:`apply_optics_model` raises when it can see that happening
+    (eager call, concrete shifts); under ``jit`` it cannot, so for
+    unusually distorted lenses pre-check with :func:`required_warp_band`
+    or use ``warp_method='gather'`` (exact for any shift)."""
     if config.max_warp_px is not None:
         return int(config.max_warp_px)
     half_diag = 0.5 * math.sqrt(img_h ** 2 + img_w ** 2)
     return max(8, int(math.ceil(0.045 * half_diag)))
+
+
+def required_warp_band(model: OpticsModel, field_lim, img_h: int,
+                       img_w: int, n_grid: int = 129) -> jnp.ndarray:
+    """Max |distortion shift| in pixels over the image — the per-axis band
+    the tap-sum warps need to render ``model`` without clamping.
+
+    Evaluated on an ``n_grid``² pixel grid that includes the exact image
+    corners (where the radial shift of any real design peaks); returns a
+    jnp scalar, concrete when ``model`` is. Compare against
+    :func:`resolve_max_warp_px`."""
+    if model.sampled_distortion_shifts is None:
+        return jnp.zeros(())
+    ii = jnp.linspace(0.0, float(img_h - 1), n_grid)[:, None]
+    jj = jnp.linspace(0.0, float(img_w - 1), n_grid)[None, :]
+    xn = jj * (2.0 / (img_w - 1)) - 1.0
+    yn = ii * (2.0 / (img_h - 1)) - 1.0
+    xn, yn = jnp.broadcast_arrays(xn, yn)
+    dx, dy = compute_distortion_shift(model, xn, yn, (-1, 1), (-1, 1),
+                                      field_lim)
+    return jnp.maximum(jnp.max(jnp.abs(dx)) * (img_w - 1) / 2.0,
+                       jnp.max(jnp.abs(dy)) * (img_h - 1) / 2.0)
 
 
 def apply_optics_model(model: OpticsModel, radiance: jnp.ndarray,
@@ -202,6 +231,19 @@ def apply_optics_model(model: OpticsModel, radiance: jnp.ndarray,
             return dx * (img_w - 1) / 2.0, dy * (img_h - 1) / 2.0
 
         warp_band = resolve_max_warp_px(config, img_h, img_w)
+        if config.warp_method in ("separable", "taps") and not isinstance(
+                model.sampled_distortion_shifts, jax.core.Tracer):
+            # Honesty check (eager path only — under jit the shifts are
+            # tracers): the tap-sum warps clamp shifts into the static
+            # band, which would silently flatten corner geometry.
+            need = float(required_warp_band(model, field_lim, img_h, img_w))
+            if need > warp_band:
+                raise ValueError(
+                    f"distortion shifts reach {need:.1f} px but the static "
+                    f"warp band is {warp_band} px — tap-sum warping would "
+                    f"clamp the corners. Set SimulatorConfig.max_warp_px >= "
+                    f"{math.ceil(need)} or use warp_method='gather' (exact "
+                    f"for any shift).")
         if config.warp_method == "separable":
             irradiance = image_mod.warp_bicubic_separable(
                 irradiance,

@@ -145,6 +145,41 @@ def svola_convolution(image: jnp.ndarray, overlap_size, psfs: jnp.ndarray,
                overlap_size[1]: overlap_size[1] + im_w_orig]
 
 
+# Keys bicubic (α = −0.75) coefficient matrix, shared by every warp path
+# in this module (gather, dense-tap, separable): row k dotted with
+# (1, t, t², t³) is the weight of neighbor k in the order
+# [v0, v0−1, v0+1, v0+2]. Evaluated elementwise — XLA's generic dot is
+# reduced-precision on this platform (see CLAUDE.md / ops.abcd._matmul2x2).
+_KEYS_ALPHA = -0.75
+_KEYS_COEFFS = np.asarray([
+    [1, 0, -(_KEYS_ALPHA + 3), (_KEYS_ALPHA + 2)],
+    [0, _KEYS_ALPHA, -2 * _KEYS_ALPHA, _KEYS_ALPHA],
+    [0, -_KEYS_ALPHA, 2 * _KEYS_ALPHA + 3, -_KEYS_ALPHA - 2],
+    [0, 0, _KEYS_ALPHA, -_KEYS_ALPHA]], dtype=np.float64)
+
+# Keys row index for neighbor offset o relative to v0 (neighbor order
+# [v0, v0−1, v0+1, v0+2]).
+_KEYS_ROW_OF = {0: 0, -1: 1, 1: 2, 2: 3}
+
+
+def _keys_weights(v, v0):
+    """Keys weights [w(0), w(−1), w(+1), w(+2)] at fraction t = v − v0."""
+    tv = v - v0
+    powers = (jnp.ones_like(tv), tv, tv * tv, tv * tv * tv)
+    return [sum(float(_KEYS_COEFFS[i, j]) * powers[j] for j in range(4))
+            for i in range(4)]
+
+
+def _keys_tap_weight(b_map, wk, d, dtype):
+    """Weight map of the tap at absolute offset ``d``: the Keys weight of
+    whichever of the 4 neighbors (base offset ``b_map`` + o) lands there,
+    else 0."""
+    w = jnp.zeros(b_map.shape, dtype)
+    for o, r in _KEYS_ROW_OF.items():
+        w = jnp.where(b_map == d - o, wk[r], w)
+    return w
+
+
 def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                         out_size: Tuple[int, int]) -> jnp.ndarray:
     """Keys bicubic (α = −0.75) gather resampler.
@@ -166,16 +201,6 @@ def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     sum keeps the original accumulation order, so results are bit-identical
     to the 16-gather form.
     """
-    alpha = -0.75
-    # row k of the Keys matrix dotted with (1, t, t^2, t^3); written
-    # elementwise — XLA's generic dot is reduced-precision on this platform
-    # (see CLAUDE.md / ops.abcd._matmul2x2).
-    coeffs = np.asarray([
-        [1, 0, -(alpha + 3), (alpha + 2)],
-        [0, alpha, -2 * alpha, alpha],
-        [0, -alpha, 2 * alpha + 3, -alpha - 2],
-        [0, 0, alpha, -alpha]], dtype=np.float64)
-
     batch, height, width, channels = im.shape
     out_h, out_w = out_size
 
@@ -187,14 +212,8 @@ def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
 
-    def weights(v, v0):
-        tv = v - v0
-        powers = (jnp.ones_like(tv), tv, tv * tv, tv * tv * tv)
-        return [sum(float(coeffs[i, j]) * powers[j] for j in range(4))[:, None]
-                for i in range(4)]
-
-    wx = weights(x, x0)
-    wy = weights(y, y0)
+    wx = _keys_weights(x, x0)
+    wy = _keys_weights(y, y0)
 
     # One SIMPLE row-gather of the whole 4×4×C neighborhood per sample.
     # TPU gather cost is dominated by the per-index slice machinery: 16 row
@@ -227,8 +246,6 @@ def interpolate_bicubic(im: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     # neighbor order was [v0, v0-1, v0+1, v0+2] with weights
     # [w0, w1, w2, w3] for offsets [0, -1, +1, +2] — slot map [1, 0, 2, 3].
     slot = (1, 0, 2, 3)
-    wx = [w[:, 0] for w in wx]                            # (N,) each
-    wy = [w[:, 0] for w in wy]
     out = jnp.zeros((channels, npix), dtype=im.dtype)
     for i in range(4):
         x_interp = jnp.zeros((channels, npix), dtype=im.dtype)
@@ -282,12 +299,6 @@ def warp_bicubic_shifts(img: jnp.ndarray, sx_px: jnp.ndarray,
     B, H, W, C = img.shape
     M = int(max_shift_px)
     dtype = img.dtype
-    alpha = -0.75
-    coeffs = np.asarray([
-        [1, 0, -(alpha + 3), (alpha + 2)],
-        [0, alpha, -2 * alpha, alpha],
-        [0, -alpha, 2 * alpha + 3, -alpha - 2],
-        [0, 0, alpha, -alpha]], dtype=np.float64)
 
     jj = jnp.arange(W, dtype=dtype)[None, :]
     ii = jnp.arange(H, dtype=dtype)[:, None]
@@ -296,35 +307,14 @@ def warp_bicubic_shifts(img: jnp.ndarray, sx_px: jnp.ndarray,
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
 
-    def keys_w(v, v0):
-        tv = v - v0
-        powers = (jnp.ones_like(tv), tv, tv * tv, tv * tv * tv)
-        return [sum(float(coeffs[i, j]) * powers[j] for j in range(4))
-                for i in range(4)]                    # rows: offsets 0,-1,1,2
-
-    wxk = keys_w(xs, x0)
-    wyk = keys_w(ys, y0)
+    wxk = _keys_weights(xs, x0)
+    wyk = _keys_weights(ys, y0)
     bx = x0.astype(jnp.int32) - jnp.arange(W, dtype=jnp.int32)[None, :]
     by = y0.astype(jnp.int32) - jnp.arange(H, dtype=jnp.int32)[:, None]
 
-    # Keys row index for neighbor offset o relative to v0 (see
-    # interpolate_bicubic's neighbor order [v0, v0-1, v0+1, v0+2]).
-    row_of = {0: 0, -1: 1, 1: 2, 2: 3}
     offsets = range(-M - 2, M + 3)                    # 2M+5 taps per axis
-
-    def weight_maps(b_map, wk):
-        """Per-tap weight map: tap at absolute offset d carries the Keys
-        weight of whichever neighbor o (of the 4) lands there, else 0."""
-        out = {}
-        for d in offsets:
-            w = jnp.zeros(b_map.shape, dtype)
-            for o, r in row_of.items():
-                w = jnp.where(b_map == d - o, wk[r], w)
-            out[d] = w
-        return out
-
-    WX = weight_maps(bx, wxk)
-    WY = weight_maps(by, wyk)
+    WX = {d: _keys_tap_weight(bx, wxk, d, dtype) for d in offsets}
+    WY = {d: _keys_tap_weight(by, wyk, d, dtype) for d in offsets}
 
     T = M + 2
     imp = jnp.pad(img, ((0, 0), (T, T), (T, T), (0, 0)), mode="edge")
@@ -351,12 +341,6 @@ def _tap1d(img: jnp.ndarray, coord: jnp.ndarray, axis: int,
     N = H if axis == 1 else W
     M = int(max_shift_px)
     dtype = img.dtype
-    alpha = -0.75
-    coeffs = np.asarray([
-        [1, 0, -(alpha + 3), (alpha + 2)],
-        [0, alpha, -2 * alpha, alpha],
-        [0, -alpha, 2 * alpha + 3, -alpha - 2],
-        [0, 0, alpha, -alpha]], dtype=np.float64)
 
     base = (jnp.arange(H, dtype=dtype)[:, None] if axis == 1
             else jnp.arange(W, dtype=dtype)[None, :])
@@ -364,13 +348,9 @@ def _tap1d(img: jnp.ndarray, coord: jnp.ndarray, axis: int,
     # clamp the effective shift into the static band
     v = jnp.clip(v, base - M, base + M)
     v0 = jnp.floor(v)
-    tv = v - v0
-    powers = (jnp.ones_like(tv), tv, tv * tv, tv * tv * tv)
-    wk = [sum(float(coeffs[i, j]) * powers[j] for j in range(4))
-          for i in range(4)]                      # rows: offsets 0,-1,1,2
+    wk = _keys_weights(v, v0)
     b_map = v0.astype(jnp.int32) - base.astype(jnp.int32)
 
-    row_of = {0: 0, -1: 1, 1: 2, 2: 3}
     offsets = range(-M - 2, M + 3)
     T = M + 2
     pad_cfg = [(0, 0), (0, 0), (0, 0), (0, 0)]
@@ -378,9 +358,7 @@ def _tap1d(img: jnp.ndarray, coord: jnp.ndarray, axis: int,
     imp = jnp.pad(img, pad_cfg, mode="edge")
     out = jnp.zeros_like(img)
     for d in offsets:
-        w = jnp.zeros(b_map.shape, dtype)
-        for o, r in row_of.items():
-            w = jnp.where(b_map == d - o, wk[r], w)
+        w = _keys_tap_weight(b_map, wk, d, dtype)
         if axis == 1:
             sl = jax.lax.slice(imp, (0, T + d, 0, 0), (B, T + d + H, W, C))
         else:

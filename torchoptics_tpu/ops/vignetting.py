@@ -187,8 +187,11 @@ def solve_vignetting(specs: Specs, lens: Lens,
         """(B, F, P) max over surfaces of hit-radius / semi-aperture."""
         res = trace_mod.trace_rays(specs, lens, cfg, xy=(xp, yp),
                                    aggregate=("x", "y"))
-        r = jnp.sqrt(res.stacks["x"] ** 2
-                     + res.stacks["y"] ** 2)             # (S, B, F, P, W)
+        # _safe_sqrt: the chief ray's hit radius is exactly 0 on every
+        # surface at field 0, and sqrt(0) would poison jax.grad through
+        # the solver (see CLAUDE.md's sqrt rule).
+        r = trace_mod._safe_sqrt(res.stacks["x"] ** 2
+                                 + res.stacks["y"] ** 2)  # (S, B, F, P, W)
         r = jnp.moveaxis(r, 0, 1)[..., 0]                # (B, S, F, P)
         m = r / jnp.maximum(sa[:, :, None, None], 1e-12)
         m = jnp.where(jnp.asarray(surf_mask)[:, :, None, None], m, 0.0)
@@ -207,7 +210,8 @@ def solve_vignetting(specs: Specs, lens: Lens,
             xy=(jnp.concatenate((jnp.zeros_like(p0), p0), axis=2),
                 jnp.concatenate((p0, jnp.zeros_like(p0)), axis=2)),
             aggregate=("x", "y"))
-        r0 = jnp.sqrt(res0.stacks["x"] ** 2 + res0.stacks["y"] ** 2)
+        r0 = trace_mod._safe_sqrt(res0.stacks["x"] ** 2
+                                  + res0.stacks["y"] ** 2)
         sa = jnp.max(jnp.moveaxis(r0, 0, 1)[..., 0], axis=(2, 3))  # (B, S)
     else:
         sa = jnp.asarray(semi_apertures)
