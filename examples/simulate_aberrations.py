@@ -52,6 +52,16 @@ def main():
     ap.add_argument("--psf-size", type=int, default=33)
     ap.add_argument("--psf-pixel", type=float, default=4e-3)
     ap.add_argument("--psf-grid", type=int, default=5)
+    ap.add_argument("--psf-source", default="geometric",
+                    choices=("geometric", "diffraction"),
+                    help="PSF physics: the reference's geometric ray splat, "
+                         "or the Fraunhofer pupil-function transform "
+                         "(captures the Airy floor of diffraction-limited "
+                         "designs; prints a sampling-adequacy report)")
+    ap.add_argument("--diffraction-grid", type=int, default=64,
+                    help="pupil grid side for --psf-source diffraction")
+    ap.add_argument("--oversample", type=int, default=4,
+                    help="sub-pixel box-integration factor (diffraction)")
     ap.add_argument("--no-distortion", action="store_true")
     ap.add_argument("--no-illumination", action="store_true")
     ap.add_argument("--show-spots", action="store_true",
@@ -91,7 +101,19 @@ def main():
         psf_abs_pixel_size=args.psf_pixel,
         psf_grid_shape=(args.psf_grid, args.psf_grid),
         apply_distortion=not args.no_distortion,
-        apply_relative_illumination=not args.no_illumination)
+        apply_relative_illumination=not args.no_illumination,
+        psf_source=args.psf_source,
+        diffraction_grid_n=args.diffraction_grid,
+        diffraction_oversample=args.oversample)
+
+    if args.psf_source == "diffraction":
+        rep = imaging.diffraction_sampling_report(specs, lens, config)
+        print(f"diffraction sampling: P-V {rep['pv_waves']:.1f} waves, "
+              f"alias period {rep['alias_mm']*1e3:.0f} um vs window+blur "
+              f"{(rep['window_mm']+rep['blur_mm'])*1e3:.0f} um, working "
+              f"f/{rep['fno_working']:.2f}")
+        for w in rep["warnings"]:
+            print(f"  WARNING: {w}")
 
     render = jax.jit(lambda l, r: imaging.simulate(specs, l, r, config))
     irr, psnr, ssim = render(lens, jnp.asarray(radiance))

@@ -16,6 +16,7 @@ shapes; the whole render jits to one XLA program. BASELINE config 5.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Dict, NamedTuple, Optional, Tuple
@@ -39,11 +40,180 @@ class OpticsModel(NamedTuple):
     sampled_distortion_shifts: Optional[jnp.ndarray]  # (n_fields,)
     sampled_relative_illumination: Optional[jnp.ndarray]  # (n_fields,)
     y_center: jnp.ndarray                     # (n_fields,)
-    # Fraction of ray energy inside the PSF sampling window, per (field,
-    # channel). When this drops the rendered PSFs are clipped + renormalized
-    # and image metrics silently stop seeing the excess blur — monitor it
-    # when optimizing through the image (see image_quality_loss).
+    # Fraction of PSF energy inside the sampling window: (n_fields,) ray
+    # fraction for psf_source='geometric', (n_fields, channels) Parseval
+    # energy fraction for 'diffraction'. When this drops the rendered PSFs
+    # are clipped + renormalized and image metrics silently stop seeing the
+    # excess blur — monitor it when optimizing through the image (see
+    # image_quality_loss); >1 under 'diffraction' means DFT aliasing (see
+    # diffraction_sampling_report).
     accounted: Optional[jnp.ndarray] = None
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_psf_window(pitch_mm: float, shape: Tuple[int, int],
+                       oversample: int):
+    """Jitted `diffraction_psf_window` closure, memoized per static config.
+
+    The transform's complex intermediates must live inside a jit on the
+    axon relay (eager complex ops are UNIMPLEMENTED there); real-in/
+    real-out, so the nested jit is transparent — inlined when the caller is
+    itself jitted (same pattern as ops.image SVOLA). Memoizing keeps repeat
+    EAGER calls from re-tracing a fresh wrapper every time."""
+    from torchoptics_tpu.ops import wavefront as wf
+
+    return jax.jit(functools.partial(
+        wf.diffraction_psf_window, pitch_mm=pitch_mm, shape=shape,
+        oversample=oversample))
+
+
+def _sample_diffraction_psfs(specs: Specs, lens: Lens,
+                             config: sim_mod.SimulatorConfig,
+                             key: Optional[jax.Array],
+                             y_center: Optional[jnp.ndarray]):
+    """Per-field diffraction PSFs on the sensor window — the pupil function
+    from one grid-sampled OPD trace, matrix-DFT'd onto the
+    ``config.psf_shape`` × ``psf_abs_pixel_size`` pixel grid
+    (`ops.wavefront.diffraction_psf_window`), wavelengths grouped into
+    channels exactly like the geometric path.
+
+    Returns (psfs (F, n_y, n_x, C) image-oriented + unit-sum per channel,
+    accounted (F, C) in-window ENERGY fraction, y_center (F,) — the
+    chief-ray image heights (mean over λ) when not supplied)."""
+    from torchoptics_tpu.models import glass as glass_mod
+    from torchoptics_tpu.ops import wavefront as wf
+
+    n = int(config.diffraction_grid_n)
+    g = (np.arange(n) + 0.5) / n * 2.0 - 1.0
+    X, Y = np.meshgrid(g, g, indexing="xy")
+    incircle = (X ** 2 + Y ** 2) <= 1.0
+    cfg = config.trace_config()
+    xr = jnp.asarray(X.ravel()[None, None, :, None], lens.dtype)
+    yr = jnp.asarray(Y.ravel()[None, None, :, None], lens.dtype)
+    out = wf.opd_map(specs, lens, cfg, key=key, xy=(xr, yr))
+    opd = out["opd"][0]                               # (F, P, W)
+    ok = out["ok"][0] & jnp.asarray(incircle.ravel())[None, :, None]
+    F, _, W = opd.shape
+    opd_g = jnp.transpose(opd, (0, 2, 1)).reshape(F, W, n, n)
+    ok_g = jnp.transpose(ok, (0, 2, 1)).reshape(F, W, n, n)
+
+    z_xp = wf.exit_pupil_distance(lens)[0]
+    r_xp = specs.epd[0] / 2.0 * wf.pupil_magnification(lens)[0]
+    x_img = out["x_img"][0]                           # (F, W)
+    y_img = out["y_img"][0]
+    R = jnp.sqrt(z_xp ** 2 + x_img ** 2 + y_img ** 2)
+    if y_center is None:
+        # The chief-ray image height IS the (distorted) field center —
+        # no full-pupil centroid trace needed.
+        y_center = jnp.mean(y_img, axis=1)            # (F,)
+    lam_mm = jnp.asarray(
+        [w * 1e-6 for w in glass_mod.resolve_wavelengths(cfg.wavelengths)],
+        lens.dtype)
+
+    win = _jitted_psf_window(config.psf_abs_pixel_size, config.psf_shape,
+                             config.diffraction_oversample)
+    res = win(opd_g, ok_g, lam_mm[None, :], R, r_xp,
+              x_offset=-x_img, y_offset=y_center[:, None] - y_img)
+    psf_fw = res["psf"]                               # (F, W, n_y, n_x)
+    acc_fw = res["accounted"]                         # (F, W)
+
+    # Wavelength -> channel grouping (same map as the geometric path).
+    ch = np.asarray(psf_mod.channel_assignment(W, 3))
+    onehot = jnp.asarray((ch[None, :] == np.arange(3)[:, None]),
+                         lens.dtype)                  # (C, W)
+    psfs = jnp.einsum("cw,fwyx->fcyx", onehot, psf_fw)
+    psfs = psfs / jnp.maximum(
+        jnp.sum(psfs, axis=(-1, -2), keepdims=True), 1e-20)
+    accounted = (jnp.sum(acc_fw[:, None, :] * onehot[None, :, :], axis=-1)
+                 / jnp.maximum(jnp.sum(onehot, axis=1)[None, :], 1.0)
+                 )                                    # (F, C) mean per ch
+    psfs = jnp.transpose(psfs, (0, 2, 3, 1))          # (F, n_y, n_x, C)
+    psfs = jnp.flip(psfs, axis=1)                     # image orientation
+    return psfs, accounted, y_center
+
+
+def diffraction_sampling_report(specs: Specs, lens: Lens,
+                                config: sim_mod.SimulatorConfig,
+                                key: Optional[jax.Array] = None) -> Dict:
+    """Host-side (eager) adequacy check of the ``psf_source='diffraction'``
+    sampling parameters — run this once before committing to a config; the
+    render itself is jitted and cannot check.
+
+    Conditions (see `ops.wavefront.diffraction_psf_window`):
+      1. pupil-phase Nyquist: ``diffraction_grid_n ≥ ~4 × peak-to-valley
+         OPD in waves`` (worst field/λ);
+      2. DFT alias period ``λ·R·grid_n/(2·r_xp)`` must exceed the PSF
+         window diagonal plus the geometric blur extent;
+      3. pixel sub-sampling: ``pitch/oversample ≲ λ·f#/2`` (the intensity
+         bandlimit), or in-window energy is a biased point-sample.
+
+    Returns a dict of the measured numbers plus an ``ok`` flag and
+    human-readable ``warnings``."""
+    from torchoptics_tpu.models import glass as glass_mod
+    from torchoptics_tpu.ops import wavefront as wf
+
+    n = int(config.diffraction_grid_n)
+    g = (np.arange(n) + 0.5) / n * 2.0 - 1.0
+    X, Y = np.meshgrid(g, g, indexing="xy")
+    incircle = (X ** 2 + Y ** 2) <= 1.0
+    cfg = config.trace_config()
+    xr = jnp.asarray(X.ravel()[None, None, :, None], lens.dtype)
+    yr = jnp.asarray(Y.ravel()[None, None, :, None], lens.dtype)
+    out = wf.opd_map(specs, lens, cfg, key=key, xy=(xr, yr))
+    opd = np.asarray(out["opd"][0])                    # (F, P, W)
+    ok = (np.asarray(out["ok"][0])
+          & incircle.ravel()[None, :, None])
+    lam_mm = np.asarray(glass_mod.resolve_wavelengths(
+        cfg.wavelengths)) * 1e-6
+    pv_waves = 0.0
+    blur_mm = 0.0
+    z_xp = float(wf.exit_pupil_distance(lens)[0])
+    r_xp = float(specs.epd[0] / 2.0 * wf.pupil_magnification(lens)[0])
+    for f in range(opd.shape[0]):
+        for w in range(opd.shape[2]):
+            sel = ok[f, :, w]
+            if not sel.any():
+                continue
+            vals = opd[f, sel, w]
+            pv_waves = max(pv_waves, float(np.ptp(vals)) / lam_mm[w])
+            # Transverse blur radius from the wavefront slope:
+            # ε ≈ (R/r_xp)·∂OPD/∂ρ, bounded by PV over one grid step.
+            grid = np.where(sel.reshape(n, n), opd[f, :, w].reshape(n, n),
+                            np.nan)
+            gy = np.abs(np.diff(grid, axis=0))
+            gx = np.abs(np.diff(grid, axis=1))
+            slope = np.nanmax([np.nanmax(gy, initial=0.0),
+                               np.nanmax(gx, initial=0.0)]) / (2.0 / n)
+            blur_mm = max(blur_mm, abs(z_xp) / r_xp * float(slope))
+    fno = abs(z_xp) / (2.0 * r_xp)
+    lam_min = float(lam_mm.min())
+    alias_mm = lam_min * abs(z_xp) * n / (2.0 * r_xp)
+    window_mm = (math.hypot(*config.psf_shape) / 2.0
+                 * config.psf_abs_pixel_size)
+    sub_pitch = config.psf_abs_pixel_size / max(
+        int(config.diffraction_oversample), 1)
+    nyq_pitch = lam_min * fno / 2.0
+    warnings = []
+    if n < 4.0 * pv_waves:
+        warnings.append(
+            f"pupil grid {n} undersamples {pv_waves:.1f}λ P-V OPD — set "
+            f"diffraction_grid_n >= {int(math.ceil(4 * pv_waves))} (or use "
+            f"psf_source='geometric': this lens is aberration-dominated)")
+    if alias_mm < window_mm + blur_mm:
+        warnings.append(
+            f"DFT alias period {alias_mm * 1e3:.0f} um < window+blur "
+            f"{(window_mm + blur_mm) * 1e3:.0f} um — replicas fold into "
+            f"the window (accounted > 1 is the symptom); raise "
+            f"diffraction_grid_n")
+    if sub_pitch > 1.5 * nyq_pitch:
+        warnings.append(
+            f"sub-pixel pitch {sub_pitch * 1e3:.2f} um > ~1.5x the "
+            f"intensity Nyquist pitch {nyq_pitch * 1e3:.2f} um (λ·f#/2) — "
+            f"raise diffraction_oversample")
+    return {"pv_waves": pv_waves, "blur_mm": blur_mm, "alias_mm": alias_mm,
+            "window_mm": window_mm, "sub_pitch_mm": sub_pitch,
+            "nyquist_pitch_mm": nyq_pitch, "fno_working": fno,
+            "ok": not warnings, "warnings": warnings}
 
 
 def sample_optics_model(specs: Specs, lens: Lens,
@@ -51,19 +221,34 @@ def sample_optics_model(specs: Specs, lens: Lens,
                         key: Optional[jax.Array] = None) -> OpticsModel:
     """Trace the lens and sample PSFs / distortion / relative illumination at
     ``config.n_sampled_fields`` field values
-    (reference `optics_simulator_lite.py:524-552`)."""
+    (reference `optics_simulator_lite.py:524-552`).
+
+    ``config.psf_source`` selects the PSF physics: ``'geometric'`` (the
+    reference's ray splat) or ``'diffraction'`` (pupil-function transform —
+    see :class:`~torchoptics_tpu.simulator.SimulatorConfig`)."""
     cfg = config.trace_config()
-    res = trace_mod.trace_rays(specs, lens, cfg, key=key)
     n_fields = len(cfg.rel_fields)
 
     if config.apply_distortion and not config.distortion_by_warping:
         y_center = abcd_mod.get_paraxial_heights_at_image_plane(
             specs, lens, np.linspace(0, 1, n_fields))[0]
     else:
-        y_center = jnp.mean(res.y.reshape(n_fields, -1), axis=1)
+        y_center = None
 
-    psfs, accounted = psf_mod.sample_psfs(
-        res.x, res.y, y_center, config.psf_shape, config.psf_abs_pixel_size)
+    if config.psf_source == "diffraction":
+        psfs, accounted, y_center = _sample_diffraction_psfs(
+            specs, lens, config, key, y_center)
+    elif config.psf_source == "geometric":
+        res = trace_mod.trace_rays(specs, lens, cfg, key=key)
+        if y_center is None:
+            y_center = jnp.mean(res.y.reshape(n_fields, -1), axis=1)
+        psfs, accounted = psf_mod.sample_psfs(
+            res.x, res.y, y_center, config.psf_shape,
+            config.psf_abs_pixel_size)
+    else:
+        raise ValueError(
+            f"psf_source must be 'geometric' or 'diffraction', got "
+            f"{config.psf_source!r}")
     psfs = image_mod.ensure_finite(psfs, 0.0)
     accounted = image_mod.ensure_finite(accounted, 0.0)
 

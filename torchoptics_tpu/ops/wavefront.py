@@ -44,6 +44,7 @@ from torchoptics_tpu.ops import trace as trace_mod
 __all__ = [
     "optical_path_lengths", "exit_pupil_distance", "opd_map",
     "zernike_basis", "zernike_fit", "strehl_ratio", "diffraction_psf",
+    "diffraction_psf_window",
 ]
 
 
@@ -333,3 +334,119 @@ def diffraction_psf(opd_grid: jnp.ndarray, ok_grid: jnp.ndarray,
     # λ·F/(M·D/N) = λ·(F/D)·N/M = λ·f#/pad, so in λ·f# units:
     coords = (jnp.arange(M) - M // 2) / float(pad)
     return {"psf": psf, "coords": coords.astype(opd_grid.dtype)}
+
+
+def diffraction_psf_window(opd_grid: jnp.ndarray, ok_grid: jnp.ndarray,
+                           wavelength_mm, R_mm, r_xp_mm, pitch_mm: float,
+                           shape: Tuple[int, int],
+                           x_offset=0.0, y_offset=0.0,
+                           oversample: int = 4
+                           ) -> Dict[str, jnp.ndarray]:
+    """Diffraction PSF sampled on an image-plane pixel window at an
+    ARBITRARY sensor pitch — a direct (matrix-DFT) Fraunhofer evaluation of
+    the traced pupil function, so the output drops straight into the
+    imaging pipeline's physical PSF grid with no FFT-size/resampling step.
+    Two small complex ``einsum`` contractions per (field, λ) — the
+    separable DFT rides the MXU instead of forcing a pad·N FFT whose pitch
+    never matches the sensor's.
+
+    Args:
+      opd_grid: (..., N, N) OPD in mm on a regular pupil grid whose cell
+        centers span [-1, 1]² of the relative pupil (axis -2 = y, axis -1
+        = x, the same layout `analysis.diffraction_mtf` builds).
+      ok_grid: (..., N, N) aperture mask (vignetting/failures/incircle).
+      wavelength_mm / R_mm / r_xp_mm: wavelength, reference-sphere radius
+        (chief-ray image distance, see `opd_map`) and exit-pupil
+        semi-diameter in mm, broadcastable to the batch shape (...,).
+      pitch_mm: window pixel pitch on the sensor (mm).
+      shape: (n_y, n_x) window size; pixel (a, b) sits at image-plane
+        offset ((a−(n_y−1)/2)·pitch + y_offset, (b−(n_x−1)/2)·pitch +
+        x_offset) from the chief image point — y increasing with row index
+        (the caller flips to image orientation, exactly like
+        `psf.sample_psfs`).
+      x_offset / y_offset: (...,) offset of the window CENTER from the
+        chief image point, mm (e.g. ``y_center − y_chief`` so lateral
+        color lands inside a common per-field window).
+      oversample: sub-samples per pixel axis; each output pixel is the
+        box-integrated mean of an ``oversample``² sub-grid (the physical
+        pixel-aperture model). Sensor pitches are far coarser than the
+        intensity's finest feature (λ·f#/2 — the pupil-autocorrelation
+        cutoff), so POINT-sampling a speckled PSF aliases: a 4 µm-pitch
+        read of an f/2 aberrated PSF mis-weighs energy by ~30%.
+        Keep ``pitch/oversample ≲ λ·f#/2``.
+
+    Sampling conditions (see `imaging.diffraction_sampling_report`):
+    the DFT of an N² pupil grid is periodic in the image plane with
+    period λ·R·N/(2·r_xp); the window plus the PSF's aberration extent
+    must fit inside it or replicas fold in (``accounted`` > 1 is the
+    smoking gun). Pupil phase must also be Nyquist-sampled:
+    N ≳ 4 × (peak-to-valley OPD in waves).
+
+    On the axon relay call this under ``jit`` (complex intermediates; see
+    `diffraction_psf`).
+
+    Returns dict:
+      ``psf``       (..., n_y, n_x) intensity, normalized to UNIT SUM over
+                    the window (the imaging pipeline's kernel convention).
+      ``accounted`` (...,) fraction of the total PSF energy inside the
+                    window (Parseval: total energy = open pupil area).
+    """
+    n_y, n_x = int(shape[0]), int(shape[1])
+    N = opd_grid.shape[-1]
+    bshape = opd_grid.shape[:-2]
+    dtype = opd_grid.dtype
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    amp = ok_grid.astype(dtype)
+    lam = jnp.broadcast_to(jnp.asarray(wavelength_mm, dtype), bshape)
+    R = jnp.broadcast_to(jnp.asarray(R_mm, dtype), bshape)
+    r_xp = jnp.broadcast_to(jnp.asarray(r_xp_mm, dtype), bshape)
+    x_off = jnp.broadcast_to(jnp.asarray(x_offset, dtype), bshape)
+    y_off = jnp.broadcast_to(jnp.asarray(y_offset, dtype), bshape)
+
+    # Physical pupil coordinates of the grid cell centers.
+    g = ((jnp.arange(N, dtype=dtype) + 0.5) / N * 2.0 - 1.0)   # (N,)
+    u = g[None, :] * r_xp.reshape(-1)[:, None]                 # flat batch
+    lamR = (lam * R).reshape(-1)                               # (bat,)
+    # Sub-pixel sample offsets from the chief image point: q samples per
+    # pixel, centered so the q-block mean sits at the pixel center.
+    q = max(int(oversample), 1)
+
+    def _sub(n):
+        idx = (jnp.arange(n * q, dtype=dtype) + 0.5) / q - 0.5
+        return (idx - (n - 1) / 2.0) * pitch_mm
+
+    oy = _sub(n_y)[None, :] + y_off.reshape(-1)[:, None]       # (bat, ny·q)
+    ox = _sub(n_x)[None, :] + x_off.reshape(-1)[:, None]       # (bat, nx·q)
+
+    # Pupil function with the wavefront phase (positive OPD lags the
+    # reference sphere; the +i convention matches `diffraction_psf` and
+    # reproduces the ray picture ε = +(R/r_xp)·∂OPD/∂ρ by stationary
+    # phase — pinned against the geometric PSF centroid in tests).
+    phase = (2.0 * jnp.pi / lam)[..., None, None] * opd_grid
+    pupil = (amp * jnp.exp(1j * phase.astype(cdtype))).reshape(
+        -1, N, N)                                              # (bat, N, N)
+    # Separable DFT kernels e^{-i·2π·u·δ/(λR)}.
+    ky = jnp.exp(-1j * (2.0 * jnp.pi * u[:, None, :] * oy[:, :, None]
+                        / lamR[:, None, None]).astype(cdtype))  # (bat,ny,N)
+    kx = jnp.exp(-1j * (2.0 * jnp.pi * u[:, None, :] * ox[:, :, None]
+                        / lamR[:, None, None]).astype(cdtype))  # (bat,nx,N)
+    t = jnp.einsum("zay,zyx->zax", ky, pupil)
+    e = jnp.einsum("zax,zbx->zab", t, kx)              # (bat, ny·q, nx·q)
+    inten = jnp.real(e) ** 2 + jnp.imag(e) ** 2
+    # Box-integrate the q×q sub-grid of each pixel (pixel-aperture model).
+    bat = inten.shape[0]
+    inten = jnp.mean(
+        inten.reshape(bat, n_y, q, n_x, q), axis=(2, 4))
+
+    # Energy accounting (continuous Fraunhofer: E = (ΔuΔv/λR)·Ẽ; total
+    # image-plane energy = ∫|P|² = Σamp²·ΔuΔv by Parseval; the in-window
+    # Riemann sum uses the SUB-pixel step, which the block mean already
+    # folded in: Σ_sub·(p/q)² = Σ_pix·p²).
+    du = 2.0 * r_xp.reshape(-1) / N
+    total = jnp.maximum(jnp.sum(amp.reshape(-1, N, N), axis=(-2, -1)), 1.0)
+    in_window = jnp.sum(inten, axis=(-2, -1))
+    accounted = (du * pitch_mm / lamR) ** 2 * in_window / total
+    psf = inten / jnp.maximum(in_window, 1e-20)[:, None, None]
+
+    return {"psf": psf.reshape(bshape + (n_y, n_x)),
+            "accounted": accounted.reshape(bshape)}

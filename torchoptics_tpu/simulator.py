@@ -57,6 +57,26 @@ class SimulatorConfig:
     psf_abs_pixel_size: float = 4.0e-3
     psf_grid_shape: Tuple[int, int] = (9, 9)
     simulated_res_factor: int = 1
+    # PSF physics model:
+    #  'geometric' (default) — the reference's soft-histogram ray splat
+    #    (`ray_tracing.py:206-270`); right when aberrations dominate, but a
+    #    diffraction-limited design collapses to a near-delta (sharper than
+    #    physics allows).
+    #  'diffraction' — Fraunhofer transform of the traced pupil function
+    #    (`ops.wavefront.diffraction_psf_window`): OPD sampled on a
+    #    ``diffraction_grid_n``² pupil grid, matrix-DFT'd directly onto the
+    #    ``psf_shape`` × ``psf_abs_pixel_size`` sensor window with
+    #    ``diffraction_oversample``² box-integrated sub-samples per pixel
+    #    (the pixel-aperture model). Captures the Airy floor, defocus
+    #    rings, and lateral color; the TPU-build superset the reference's
+    #    dormant image path never had. Sampling rules (aliasing otherwise;
+    #    check with `imaging.diffraction_sampling_report`):
+    #    grid_n ≳ 4 × peak-to-valley OPD in waves, and the DFT alias
+    #    period λ·R·grid_n/(2·r_xp) must exceed window + PSF extent —
+    #    heavily aberrated designs (tens of waves) want 'geometric'.
+    psf_source: str = "geometric"
+    diffraction_grid_n: int = 64
+    diffraction_oversample: int = 4
     # Distortion-warp resampler:
     #  'separable' (default) — two-pass Catmull–Smith bicubic
     #    (`ops.image.warp_bicubic_separable`): 1-D tap sums per axis, pure
